@@ -1,0 +1,25 @@
+"""dynaalign_tpu — a TPU-native peptide similarity & clustering framework.
+
+A from-scratch rebuild of the capabilities of DynaAlign (reference R/Rcpp
+package syl051088/DynaAlign) designed for TPU hardware: MinHash and
+Needleman–Wunsch similarity as jitted JAX/Pallas kernels over
+integer-encoded sequences, all-pairs computation tiled across a
+``jax.sharding.Mesh``, and Louvain / clusterbreak / consensus layers
+consuming the device-computed matrices.
+
+Public API (parity with the reference's 17 exports, NAMESPACE:3-19):
+  similarity_mh, similarity_nw           — similarityMH / similarityNW
+  clusterbreak, netcluster, louvain_mod  — clustering layer
+  cluster_consensus, consensus_plot      — consensus layer
+  minhash, shingle, create_vocab, ...    — pure-reference MinHash twin
+  compute_similarity_stats, plot_similarity_matrix
+"""
+
+from . import blosum, encode  # noqa: F401
+from .encode import EncodedSeqs, encode as encode_sequences  # noqa: F401
+
+__version__ = "0.1.0"
+
+# Heavier API surfaces are imported lazily as they land; the similarity
+# entry points live in dynaalign_tpu.api.
+from .api import similarity_mh, similarity_nw  # noqa: F401,E402

@@ -1,0 +1,152 @@
+"""MinHash signature + signature-agreement kernels (JAX, TPU-first).
+
+Behavioural spec: reference src/minHash.cpp:119-188 (``similarityMH``).
+The reference's two hot loops map to two jitted kernels:
+
+* HOT LOOP 1 (signature build, src/minHash.cpp:143-157) becomes a single
+  ``[N, P, H]`` hash tensor min-reduced over window positions — an
+  embarrassingly parallel VPU map, chunked over N to bound memory.
+* HOT LOOP 2 (pair similarity, src/minHash.cpp:160-178) becomes a blocked
+  all-pairs signature-agreement count: for each row block, compare
+  ``[TI, 1, H] == [1, N, H]`` and mean-reduce — XLA fuses the compare and
+  reduction so the [TI, N, H] intermediate never materializes.
+
+Edge-case parity (preserved deliberately, see SURVEY.md §2 #8): a sequence
+shorter than k keeps the all-UINT32_MAX init signature and therefore scores
+similarity 1.0 against any other too-short sequence.
+
+Reproducibility: unlike the reference (seeded from std::random_device,
+src/minHash.cpp:73), the hash family here takes an explicit ``seed``
+(default 0) drawn through an mt19937 bit-compatible with a seeded build of
+the reference (utils/mt19937.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.mt19937 import hash_family_seeds
+from .murmur3 import murmur3_kmer_hashes
+
+_UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _signatures_kernel(
+    ascii_tokens: jnp.ndarray,  # uint8 [N, L]
+    lengths: jnp.ndarray,  # int32 [N]
+    seeds: jnp.ndarray,  # uint32 [H]
+    *,
+    k: int,
+) -> jnp.ndarray:  # uint32 [N, H]
+    hashes = murmur3_kmer_hashes(ascii_tokens, k, seeds)  # [N, P, H]
+    p = hashes.shape[1]
+    pos = jnp.arange(p, dtype=jnp.int32)[None, :]
+    valid = (pos + k) <= lengths[:, None]  # [N, P]
+    hashes = jnp.where(valid[:, :, None], hashes, _UINT32_MAX)
+    return jnp.min(hashes, axis=1)
+
+
+def minhash_signatures(
+    ascii_tokens: np.ndarray | jnp.ndarray,
+    lengths: np.ndarray | jnp.ndarray,
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """MinHash signatures [N, H] for a padded ascii batch.
+
+    Chunked over sequences so the [chunk, P, H] hash tensor stays well under
+    HBM limits for long-sequence workloads.
+    """
+    if k <= 0:
+        raise ValueError("'k' must be a positive integer")
+    if n_hash <= 0:
+        raise ValueError("Number of hash functions must be positive")
+    ascii_tokens = jnp.asarray(ascii_tokens, dtype=jnp.uint8)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    n, length = ascii_tokens.shape
+    if length < k:
+        # every sequence is shorter than k: all-max signatures
+        return jnp.full((n, n_hash), _UINT32_MAX, dtype=jnp.uint32)
+    seeds = jnp.asarray(hash_family_seeds(n_hash, seed))
+    if n <= chunk:
+        return _signatures_kernel(ascii_tokens, lengths, seeds, k=k)
+    outs = []
+    # pad N to a chunk multiple so every chunk compiles to one shape
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        ascii_tokens = jnp.pad(ascii_tokens, ((0, n_pad - n), (0, 0)))
+        lengths = jnp.pad(lengths, (0, n_pad - n))
+    for s in range(0, n_pad, chunk):
+        outs.append(
+            _signatures_kernel(
+                ascii_tokens[s : s + chunk], lengths[s : s + chunk],
+                seeds, k=k,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _agreement_kernel(
+    sigs: jnp.ndarray, *, block: int = 256
+) -> jnp.ndarray:
+    """All-pairs signature agreement counts, blocked over rows.
+
+    sigs: uint32 [N, H] with N padded to a multiple of ``block`` by the
+    caller.  Returns int32 [N, N] counts of agreeing slots; XLA fuses the
+    [block, N, H] compare with its reduction so it never materializes.
+    """
+    n, n_hash = sigs.shape
+
+    def row_block(i, acc):
+        blk = jax.lax.dynamic_slice(sigs, (i * block, 0), (block, n_hash))
+        eq = blk[:, None, :] == sigs[None, :, :]  # [block, N, H] (fused)
+        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
+        return jax.lax.dynamic_update_slice(acc, counts, (i * block, 0))
+
+    acc = jnp.zeros((n, n), dtype=jnp.int32)
+    return jax.lax.fori_loop(0, n // block, row_block, acc)
+
+
+def signature_agreement_counts(
+    sigs: np.ndarray | jnp.ndarray, *, block: int = 256
+) -> jnp.ndarray:
+    """int32 [N, N] count of agreeing signature slots per pair."""
+    sigs = jnp.asarray(sigs, dtype=jnp.uint32)
+    n = sigs.shape[0]
+    n_pad = -(-n // block) * block
+    padded = sigs
+    if n_pad != n:
+        # pad rows with distinct per-row fill so padded rows never agree
+        fill = (
+            jnp.arange(n_pad - n, dtype=jnp.uint32)[:, None]
+            + jnp.uint32(1)
+        ) * jnp.ones((1, sigs.shape[1]), dtype=jnp.uint32)
+        padded = jnp.concatenate([sigs, fill], axis=0)
+    return _agreement_kernel(padded, block=block)[:n, :n]
+
+
+def signature_similarity(
+    sigs: np.ndarray | jnp.ndarray, *, block: int = 256
+) -> np.ndarray:
+    """Symmetric [N, N] float64 similarity = fraction of agreeing slots.
+
+    matches/n_hash is divided in float64 on the host, matching the C++
+    double division (src/minHash.cpp:174) bit-for-bit.  Diagonal is
+    exactly 1.0 (reference sets it explicitly, src/minHash.cpp:161).
+    """
+    n_hash = np.asarray(sigs).shape[1]
+    counts = np.asarray(
+        signature_agreement_counts(sigs, block=block), dtype=np.float64
+    )
+    sims = counts / float(n_hash)
+    np.fill_diagonal(sims, 1.0)
+    return sims
