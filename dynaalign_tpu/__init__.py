@@ -20,6 +20,22 @@ from .encode import EncodedSeqs, encode as encode_sequences  # noqa: F401
 
 __version__ = "0.1.0"
 
-# Heavier API surfaces are imported lazily as they land; the similarity
-# entry points live in dynaalign_tpu.api.
 from .api import similarity_mh, similarity_nw  # noqa: F401,E402
+from .cluster import (  # noqa: F401,E402
+    ClusterBreakResult,
+    clusterbreak,
+    louvain,
+    louvain_mod,
+    netcluster,
+)
+from .consensus import (  # noqa: F401,E402
+    cluster_consensus,
+    consensus_sequence,
+    progressive_msa,
+)
+from .analysis import (  # noqa: F401,E402
+    compute_similarity_stats,
+    consensus_plot,
+    plot_similarity_matrix,
+)
+from .models import minhash, shingle  # noqa: F401,E402

@@ -1,0 +1,59 @@
+"""Similarity-matrix → graph utilities.
+
+Mirrors the reference's use of
+``igraph::graph_from_adjacency_matrix(mode="upper", weighted=TRUE)``
+(R/clusterbreak.R:122): the upper triangle (including the diagonal, which
+becomes self-loops) defines an undirected weighted graph; zero entries are
+non-edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse
+
+
+def quantile_threshold(
+    sim: np.ndarray, thresh_p: float
+) -> float:
+    """Quantile of the strict upper triangle (R ``quantile`` type-7 default,
+    matching R/clusterbreak.R:219's ``quantile(sim[upper.tri(sim)], p)``)."""
+    n = sim.shape[0]
+    iu = np.triu_indices(n, k=1)
+    vals = sim[iu]
+    if vals.size == 0:
+        return 0.0
+    return float(np.quantile(vals, thresh_p))  # 'linear' == R type 7
+
+
+def threshold_matrix(sim: np.ndarray, thresh_p: float) -> np.ndarray:
+    """Zero entries below the upper-triangle quantile threshold
+    (R/clusterbreak.R:219-221).  Returns a copy."""
+    t = quantile_threshold(sim, thresh_p)
+    out = sim.copy()
+    out[out < t] = 0.0
+    return out
+
+
+def adjacency_from_matrix(
+    mat: np.ndarray, mode: str = "upper", keep_diag: bool = True
+) -> sparse.csr_matrix:
+    """Symmetric CSR adjacency from a (possibly upper-only) matrix.
+
+    mode="upper": use the upper triangle (incl. diagonal as self-loops)
+    and mirror it — igraph's mode="upper" semantics.
+    mode="undirected": require symmetry and use as-is.
+    """
+    mat = np.asarray(mat, dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+        raise ValueError("Input must be a square pairwise similarity matrix")
+    if mode == "upper":
+        up = np.triu(mat, k=0 if keep_diag else 1)
+        sym = up + np.triu(mat, k=1).T
+    elif mode == "undirected":
+        sym = mat.copy()
+        if not keep_diag:
+            np.fill_diagonal(sym, 0.0)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return sparse.csr_matrix(sym)

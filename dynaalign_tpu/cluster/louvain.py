@@ -1,0 +1,170 @@
+"""Louvain community detection (weighted, resolution-parameterized, seeded).
+
+The reference delegates clustering to igraph's C-implemented
+``cluster_louvain`` (R/clusterbreak.R:115-116,126).  python-igraph is not
+available here, and bit-identical membership is unattainable anyway (the
+algorithm is stochastic; SURVEY.md §7 hard part 4 sets ARI-level parity as
+the target), so this is a from-scratch implementation of the standard
+two-phase Louvain method (Blondel et al. 2008) with:
+
+* edge weights and self-loops (the reference's graphs carry self-loops —
+  ``graph_from_adjacency_matrix`` keeps the unit diagonal);
+* a resolution parameter γ entering the null model term, matching
+  igraph's generalized modularity  Q = Σ_ij [A_ij − γ k_i k_j / 2m]
+  δ(c_i,c_j) / 2m;
+* an explicit seed (node visiting order is the only stochastic part).
+
+Graphs are CSR arrays; each node-move pass is O(E) with per-node
+``np.bincount`` over neighbor communities, fast enough for ~10^5 nodes /
+10^7 edges on the host while the similarity matrix itself stays on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy import sparse
+
+
+@dataclasses.dataclass
+class LouvainResult:
+    membership: np.ndarray  # int64 [n], 0-based community ids (dense)
+    modularity: float
+    n_levels: int
+
+
+def modularity(
+    adj: sparse.csr_matrix,
+    membership: np.ndarray,
+    resolution: float = 1.0,
+) -> float:
+    """Generalized modularity of a partition of an undirected weighted graph.
+
+    ``adj`` must be symmetric; diagonal entries are self-loops (counted
+    once in A_ii, twice in strength, igraph convention).
+    """
+    adj = sparse.csr_matrix(adj)
+    membership = np.asarray(membership)
+    strengths = np.asarray(adj.sum(axis=1)).ravel() + adj.diagonal()
+    two_m = strengths.sum()
+    if two_m == 0:
+        return 0.0
+    coo = adj.tocoo()
+    same = membership[coo.row] == membership[coo.col]
+    # Σ_ij A_ij δ : off-diagonal entries appear twice in the symmetric
+    # matrix; self-loops contribute 2*A_ii in igraph's convention
+    diag_mask = coo.row == coo.col
+    internal = coo.data[same & ~diag_mask].sum() + 2.0 * coo.data[
+        same & diag_mask
+    ].sum()
+    sum_tot = np.bincount(membership, weights=strengths)
+    return float(
+        internal / two_m
+        - resolution * np.sum((sum_tot / two_m) ** 2)
+    )
+
+
+def _one_level(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    self_w: np.ndarray,
+    strengths: np.ndarray,
+    two_m: float,
+    resolution: float,
+    rng: np.random.Generator,
+    max_passes: int = 32,
+) -> np.ndarray:
+    """Phase 1: greedy node moves until no improvement.  Returns community
+    assignment (not renumbered)."""
+    n = len(indptr) - 1
+    comm = np.arange(n, dtype=np.int64)
+    sum_tot = strengths.copy()  # per community total strength
+    gamma = resolution
+
+    improved_any = True
+    passes = 0
+    while improved_any and passes < max_passes:
+        improved_any = False
+        passes += 1
+        order = rng.permutation(n)
+        for v in order:
+            cv = comm[v]
+            kv = strengths[v]
+            lo, hi = indptr[v], indptr[v + 1]
+            nbrs = indices[lo:hi]
+            wts = data[lo:hi]
+            keep = nbrs != v  # self-loops don't count toward move gains
+            nbrs = nbrs[keep]
+            wts = wts[keep]
+            if len(nbrs) == 0:
+                continue
+            ncomms = comm[nbrs]
+            # accumulate weight to each neighbor community
+            uniq, inv = np.unique(ncomms, return_inverse=True)
+            w_to = np.bincount(inv, weights=wts)
+            # remove v from its community for the comparison
+            sum_tot[cv] -= kv
+            # gain of joining community C: w(v,C) - γ k_v Σtot_C / 2m
+            gains = w_to - gamma * kv * sum_tot[uniq] / two_m
+            # gain of staying alone: 0 (w to own singleton = 0)
+            best = int(np.argmax(gains))
+            if gains[best] > 1e-12 and uniq[best] != cv:
+                comm[v] = uniq[best]
+                sum_tot[uniq[best]] += kv
+                improved_any = True
+            else:
+                sum_tot[cv] += kv
+    return comm
+
+
+def louvain(
+    adj: sparse.spmatrix | np.ndarray,
+    *,
+    resolution: float = 1.0,
+    seed: int = 0,
+    max_levels: int = 32,
+) -> LouvainResult:
+    """Two-phase Louvain on an undirected weighted graph.
+
+    Args:
+      adj: symmetric adjacency (dense or sparse); diagonal = self-loops.
+      resolution: γ in the generalized modularity (igraph-compatible).
+      seed: RNG seed for node visiting order.
+    """
+    A = sparse.csr_matrix(adj, dtype=np.float64)
+    n0 = A.shape[0]
+    rng = np.random.default_rng(seed)
+
+    mapping = np.arange(n0, dtype=np.int64)  # original node -> current node
+    A_top = A.copy()
+    levels = 0
+    while True:
+        levels += 1
+        self_w = A.diagonal()
+        strengths = np.asarray(A.sum(axis=1)).ravel() + self_w
+        two_m = strengths.sum()
+        if two_m == 0:
+            break
+        comm = _one_level(
+            A.indptr, A.indices, A.data, self_w, strengths, two_m,
+            resolution, rng,
+        )
+        uniq, dense = np.unique(comm, return_inverse=True)
+        n_comms = len(uniq)
+        mapping = dense[mapping]
+        if n_comms == A.shape[0] or levels >= max_levels:
+            break
+        # Phase 2: aggregate graph — community -> super-node
+        proj = sparse.csr_matrix(
+            (np.ones(A.shape[0]), (np.arange(A.shape[0]), dense)),
+            shape=(A.shape[0], n_comms),
+        )
+        A = (proj.T @ A @ proj).tocsr()
+        A.sum_duplicates()
+
+    q = modularity(A_top, mapping, resolution)
+    return LouvainResult(
+        membership=mapping, modularity=q, n_levels=levels
+    )

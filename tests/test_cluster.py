@@ -1,0 +1,188 @@
+"""Clustering layer: Louvain, netcluster, louvain_mod, clusterbreak."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from dynaalign_tpu.cluster import (
+    clusterbreak,
+    louvain,
+    louvain_mod,
+    modularity,
+    netcluster,
+    quantile_threshold,
+)
+
+
+def block_matrix():
+    # two obvious communities (reference example, R/clusterbreak.R:25-30)
+    return np.array(
+        [
+            [1, 1, 0, 0],
+            [1, 1, 0, 0],
+            [0, 0, 1, 1],
+            [0, 0, 1, 1],
+        ],
+        dtype=float,
+    )
+
+
+def three_blocks(n_per=10, p_in=0.9, p_out=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    n = 3 * n_per
+    labels = np.repeat(np.arange(3), n_per)
+    sim = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = p_in if labels[i] == labels[j] else p_out
+            if rng.random() < p:
+                sim[i, j] = sim[j, i] = rng.uniform(0.5, 1.0)
+    np.fill_diagonal(sim, 1.0)
+    return sim, labels
+
+
+def _ari(a, b):
+    """Adjusted Rand index (the reference's validation metric,
+    workspace/troyWspc.Rmd:134-189)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = len(a)
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    ct = np.zeros((len(ua), len(ub)), dtype=np.int64)
+    np.add.at(ct, (ia, ib), 1)
+    comb = lambda x: x * (x - 1) / 2  # noqa: E731
+    sum_ij = comb(ct).sum()
+    sum_a = comb(ct.sum(1)).sum()
+    sum_b = comb(ct.sum(0)).sum()
+    exp = sum_a * sum_b / comb(n)
+    mx = (sum_a + sum_b) / 2
+    return (sum_ij - exp) / (mx - exp) if mx != exp else 1.0
+
+
+def test_louvain_two_blocks():
+    res = louvain(sparse.csr_matrix(block_matrix()))
+    m = res.membership
+    assert m[0] == m[1] and m[2] == m[3] and m[0] != m[2]
+    assert res.modularity > 0
+
+
+def test_louvain_three_blocks_ari():
+    sim, labels = three_blocks()
+    res = louvain(sparse.csr_matrix(sim), resolution=1.05, seed=0)
+    assert _ari(res.membership, labels) > 0.9
+
+
+def test_louvain_deterministic_given_seed():
+    sim, _ = three_blocks(seed=3)
+    a = louvain(sparse.csr_matrix(sim), seed=42).membership
+    b = louvain(sparse.csr_matrix(sim), seed=42).membership
+    np.testing.assert_array_equal(a, b)
+
+
+def test_modularity_known_value():
+    # two disjoint dyads + self-loops; hand-checkable partition quality
+    m_good = modularity(sparse.csr_matrix(block_matrix()), np.array([0, 0, 1, 1]))
+    m_bad = modularity(sparse.csr_matrix(block_matrix()), np.array([0, 1, 0, 1]))
+    assert m_good > m_bad
+
+
+def test_netcluster_reference_example():
+    # R/clusterbreak.R:82-98 example: block matrix -> two clusters
+    out = netcluster(block_matrix())
+    assert out.shape == (4,)
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+    assert out.min() >= 1  # 1-based like igraph membership
+
+
+def test_netcluster_validation():
+    with pytest.raises(ValueError, match="square"):
+        netcluster(np.zeros((3, 4)))
+    with pytest.raises(ValueError, match="numeric vector"):
+        netcluster(block_matrix(), cluster_func=lambda g: np.zeros((2, 2)))
+
+
+def test_netcluster_custom_function():
+    out = netcluster(
+        block_matrix(), cluster_func=lambda g: np.array([1, 1, 2, 2])
+    )
+    np.testing.assert_array_equal(out, [1, 1, 2, 2])
+
+
+def test_louvain_mod_scan():
+    sim, labels = three_blocks(seed=1)
+    res = louvain_mod(
+        sparse.csr_matrix(sim), res=1.0, res_range_perc=0.2,
+        res_step=0.1, itr=2,
+    )
+    assert set(res) == {"cluster", "resolution", "modularity"}
+    assert _ari(res["cluster"], labels) > 0.9
+    assert 0.7 <= res["resolution"] <= 1.3
+
+
+def test_quantile_threshold_matches_r_type7():
+    sim = np.array(
+        [[1.0, 0.2, 0.4], [0.2, 1.0, 0.6], [0.4, 0.6, 1.0]]
+    )
+    # upper tri values: 0.2, 0.4, 0.6 ; R quantile(x, 0.5) type 7 = 0.4
+    assert quantile_threshold(sim, 0.5) == pytest.approx(0.4)
+    # p=0.8 -> 0.2 + 0.8*2 intervals: idx = 1.6 -> 0.4+0.6*(0.6-0.4)=0.52
+    assert quantile_threshold(sim, 0.8) == pytest.approx(0.52)
+
+
+def test_clusterbreak_synthetic():
+    rng = np.random.default_rng(0)
+    # three families of similar peptides
+    base = ["ARNDCQEGHILK", "MNPQRSTVWYAR", "GGGGHHHHKKKK"]
+
+    def mutate(s, nmut):
+        s = list(s)
+        for _ in range(nmut):
+            pos = rng.integers(len(s))
+            s[pos] = "ARNDCQEGHILKMFPSTWYV"[rng.integers(20)]
+        return "".join(s)
+
+    seqs = [mutate(b, 2) for b in base for _ in range(12)]
+    result = clusterbreak(
+        seqs, thresh_p=0.6, size_max=20, size_min=3, verbose=False
+    )
+    assert result.converged
+    labeled = result.clustered_seq
+    assert labeled.shape[1] == 2
+    # every output sequence came from the input
+    assert set(labeled[:, 0]) <= set(seqs)
+    # labels look like "itr.cid"
+    assert all("." in lab for lab in labeled[:, 1])
+    # most sequences should be kept and grouped into >= 2 clusters
+    assert labeled.shape[0] + len(result.filtered_seq) == len(seqs)
+    assert len(set(labeled[:, 1])) >= 2
+
+
+def test_clusterbreak_validation():
+    with pytest.raises(ValueError, match="size_max"):
+        clusterbreak(["AA"], size_max=2, size_min=3)
+    with pytest.raises(ValueError, match="empty"):
+        clusterbreak([], size_max=10, size_min=3)
+
+
+def test_clusterbreak_max_itr_nonconvergence():
+    rng = np.random.default_rng(1)
+    seqs = [
+        "".join(rng.choice(list("ARND"), size=8)) for _ in range(30)
+    ]
+    # a sim_fn that always splits the subset into two tight halves forces
+    # recursion until the max_itr guard trips (R/clusterbreak.R:211-215)
+    def two_blocks(x):
+        n = len(x)
+        h = n // 2
+        sim = np.full((n, n), 0.05)
+        sim[:h, :h] = 0.9
+        sim[h:, h:] = 0.9
+        np.fill_diagonal(sim, 1.0)
+        return sim
+
+    result = clusterbreak(
+        seqs, size_max=4, size_min=1, max_itr=3, verbose=False,
+        sim_fn=two_blocks,
+    )
+    assert not result.converged
