@@ -1,0 +1,88 @@
+"""Headline benchmark: all-pairs exact-NW similarity throughput.
+
+Measures the TPU-native wavefront NW engine on real h3n2sample HA proteins
+(~566 aa, the BASELINE.json config) against the serial C++ baseline — the
+reference's similarityNW driver is single-threaded
+(src/pairwiseSeqAlign.cpp:340-352), so ``vs_baseline`` is the speedup the
+BASELINE "≥10x pairs/sec on one chip" target is scored on.
+
+Prints ONE JSON line:
+  {"metric": "nw_allpairs_pairs_per_sec", "value": ..., "unit": "pairs/s",
+   "vs_baseline": ..., ...extra context fields}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "128"))
+N_BASELINE = int(os.environ.get("BENCH_BASELINE_SEQS", "24"))
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from dynaalign_tpu import blosum, encode, oracle
+    from dynaalign_tpu.io.datasets import load_sequences
+    from dynaalign_tpu.parallel import make_mesh, sharded_nw_allpairs
+
+    seqs = load_sequences("h3n2sample", limit=N_SEQS)
+    enc = encode.encode(seqs, pad_multiple=8)
+    sub = blosum.get_matrix("BLOSUM62")
+    mesh = make_mesh()
+
+    lens = enc.lengths.astype(np.float64)
+    n = len(seqs)
+    pair_cells = lens[:, None] * lens[None, :]
+    total_cells = float(np.triu(pair_cells).sum())
+    n_pairs = n * (n + 1) // 2
+
+    # --- TPU path (warm up compile, then time) -----------------------------
+    def run():
+        return sharded_nw_allpairs(
+            enc.indices, enc.lengths, sub, tile=16, mesh=mesh
+        )
+
+    sims = run()  # compile + first run
+    t0 = time.perf_counter()
+    sims = run()
+    tpu_time = time.perf_counter() - t0
+    tpu_pairs_per_sec = n_pairs / tpu_time
+    tpu_cells_per_sec = total_cells / tpu_time
+
+    # --- CPU baseline (serial, reference-equivalent) -----------------------
+    base_seqs = seqs[:N_BASELINE]
+    nb = len(base_seqs)
+    base_pairs = nb * (nb + 1) // 2
+    t0 = time.perf_counter()
+    base = oracle.nw_similarity(base_seqs, n_threads=1)
+    cpu_time = time.perf_counter() - t0
+    cpu_pairs_per_sec = base_pairs / cpu_time
+
+    # correctness spot check on the overlapping block
+    ok = bool(np.array_equal(sims[:nb, :nb], base))
+
+    result = {
+        "metric": "nw_allpairs_pairs_per_sec",
+        "value": round(tpu_pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu_pairs_per_sec / cpu_pairs_per_sec, 2),
+        "n_seqs": n,
+        "n_pairs": n_pairs,
+        "mean_len": round(float(lens.mean()), 1),
+        "tpu_cell_updates_per_sec": round(tpu_cells_per_sec, 0),
+        "tpu_seconds": round(tpu_time, 3),
+        "baseline_pairs_per_sec": round(cpu_pairs_per_sec, 2),
+        "bit_exact_vs_oracle": ok,
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

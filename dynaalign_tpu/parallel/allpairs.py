@@ -1,0 +1,251 @@
+"""Mesh-sharded all-pairs similarity (the distributed core).
+
+The reference's closest analogue is the OpenMP loop over the inner pair
+index (src/minHash.cpp:164-167); here the all-pairs grid is decomposed
+over a 2-D device mesh with ``shard_map``:
+
+* **MinHash**: signatures [N, H] are built data-parallel (sharded over
+  sequences on the flattened mesh), then all-gathered (they are tiny:
+  N * H * 4 bytes) and each device computes its [N/pr, N/pc] block of the
+  agreement-count matrix.  Communication = one all-gather of signatures +
+  the final output assembly; everything else is local VPU work.
+
+* **NW**: the upper-triangle pair-tile grid is enumerated on the host,
+  round-robined across the flattened mesh for load balance (tiles have
+  equal padded cost), and each device sweeps its tiles with the batched
+  wavefront kernel (`ops.nw`).  Sequences are replicated (int8-packed,
+  small); outputs are per-tile [t, t] (matches, length) blocks gathered
+  at the end.  No collective is needed during the DP itself.
+
+Both paths compile once per shape and run identically on a real TPU slice
+or on XLA's host-platform virtual devices (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.nw import nw_similarity_batch
+from .mesh import COLS, ROWS, make_mesh
+
+__all__ = [
+    "sharded_signature_agreement",
+    "sharded_minhash_similarity",
+    "sharded_nw_allpairs",
+]
+
+
+def _pad_rows(arr: np.ndarray, multiple: int, fill=0) -> np.ndarray:
+    n = arr.shape[0]
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return arr
+    pad_width = [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_width, constant_values=fill)
+
+
+def sharded_signature_agreement(
+    sigs: np.ndarray, mesh: Mesh | None = None
+) -> np.ndarray:
+    """All-pairs agreement counts on a 2-D mesh.
+
+    Each (rows, cols) device computes its output block from its row-shard
+    and col-shard of the replicated signature matrix.  Returns int32
+    [N, N] counts (assembled on host).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    pr, pc = mesh.shape[ROWS], mesh.shape[COLS]
+    n, h = sigs.shape
+    lcm = pr * pc // np.gcd(pr, pc)
+    padded = _pad_rows(np.asarray(sigs, dtype=np.uint32), lcm)
+    n_pad = padded.shape[0]
+    # distinct fill per padded row so padding never matches anything
+    if n_pad != n:
+        padded[n:] = (
+            np.arange(1, n_pad - n + 1, dtype=np.uint32)[:, None]
+            + np.uint32(0x7FFFFFFF)
+        )
+
+    def block(rows_block, cols_block):
+        eq = (
+            rows_block[:, None, :] == cols_block[None, :, :]
+        )  # [nr, nc, H], fused into the reduce
+        return jnp.sum(eq, axis=-1, dtype=jnp.int32)
+
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(ROWS, None), P(COLS, None)),
+        out_specs=P(ROWS, COLS),
+    )
+    out = jax.jit(fn)(jnp.asarray(padded), jnp.asarray(padded))
+    return np.asarray(out)[:n, :n]
+
+
+def sharded_minhash_similarity(
+    ascii_tokens: np.ndarray,
+    lengths: np.ndarray,
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Full MinHash similarity on a mesh: data-parallel signature build +
+    2-D-sharded agreement.  Returns float64 [N, N]."""
+    from ..ops.minhash import minhash_signatures
+
+    if mesh is None:
+        mesh = make_mesh()
+    # signature build is embarrassingly parallel over sequences: shard rows
+    n = ascii_tokens.shape[0]
+    ndev = mesh.devices.size
+    padded_tokens = _pad_rows(np.asarray(ascii_tokens, np.uint8), ndev)
+    padded_lengths = _pad_rows(np.asarray(lengths, np.int32), ndev)
+    flat = Mesh(mesh.devices.reshape(-1), ("seq",))
+    sharding = jax.sharding.NamedSharding(flat, P("seq"))
+    tok_dev = jax.device_put(padded_tokens, sharding)
+    len_dev = jax.device_put(padded_lengths, sharding)
+    sigs = minhash_signatures(
+        tok_dev, len_dev, k=k, n_hash=n_hash, seed=seed,
+        chunk=max(padded_tokens.shape[0], 1),
+    )
+    sigs = np.asarray(sigs)[:n]
+    counts = sharded_signature_agreement(sigs, mesh)
+    sims = counts.astype(np.float64) / float(n_hash)
+    np.fill_diagonal(sims, 1.0)
+    return sims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "tile", "gap_open", "gap_ext"),
+)
+def _nw_tiles_sharded(
+    seq_idx: jnp.ndarray,  # int32 [N, L] (replicated)
+    lengths: jnp.ndarray,  # int32 [N]
+    sub: jnp.ndarray,  # int32 [32, 32]
+    tile_rows: jnp.ndarray,  # int32 [T, t] sequence ids per tile (row side)
+    tile_cols: jnp.ndarray,  # int32 [T, t]
+    *,
+    mesh: Mesh,
+    tile: int,
+    gap_open: int,
+    gap_ext: int,
+):
+    """Sweep T pair-tiles over the flattened mesh; T % ndev == 0.
+
+    Returns (matches, length) int32 [T, t, t].
+    """
+
+    def device_fn(seqs, lens, submat, t_rows, t_cols):
+        # t_rows: [T/ndev, t] local tile list
+        def one_tile(args):
+            rows, cols = args
+            a = jnp.take(seqs, rows, axis=0)
+            la = jnp.take(lens, rows)
+            b = jnp.take(seqs, cols, axis=0)
+            lb = jnp.take(lens, cols)
+            a = jnp.repeat(a, tile, axis=0)
+            la = jnp.repeat(la, tile)
+            b = jnp.tile(b, (tile, 1))
+            lb = jnp.tile(lb, (tile,))
+            res = nw_similarity_batch(
+                a, la, b, lb, submat, gap_open=gap_open, gap_ext=gap_ext
+            )
+            return (
+                res.matches.reshape(tile, tile),
+                res.length.reshape(tile, tile),
+            )
+
+        return jax.lax.map(one_tile, (t_rows, t_cols))
+
+    flat = Mesh(mesh.devices.reshape(-1), ("d",))
+    fn = shard_map(
+        device_fn,
+        mesh=flat,
+        in_specs=(P(), P(), P(), P("d"), P("d")),
+        out_specs=(P("d"), P("d")),
+        # the scan carry inits inside the NW kernel are mesh-invariant
+        # constants; skip the varying-axis equality check
+        check_vma=False,
+    )
+    return fn(seq_idx, lengths, sub, tile_rows, tile_cols)
+
+
+def sharded_nw_allpairs(
+    seq_idx: np.ndarray,
+    lengths: np.ndarray,
+    sub: np.ndarray,
+    *,
+    tile: int = 16,
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """All-pairs NW percent-identity on a mesh.  Returns float64 [N, N].
+
+    The upper-triangular tile grid (including diagonal tiles, mirroring
+    the reference driver src/pairwiseSeqAlign.cpp:340-352) is round-robin
+    assigned across devices; each device runs the batched wavefront DP
+    over its tiles.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = seq_idx.shape[0]
+    nb = -(-n // tile)
+
+    tiles = [
+        (bi, bj) for bi in range(nb) for bj in range(bi, nb)
+    ]
+    # pad tile list to a device multiple (dummy tiles recompute tile 0)
+    while len(tiles) % ndev:
+        tiles.append((0, 0))
+    t_arr = np.asarray(tiles, dtype=np.int32)
+    # round-robin by interleaving so each device gets an even spread
+    order = np.argsort(np.arange(len(tiles)) % ndev, kind="stable")
+    t_arr = t_arr[order]
+    inv_order = np.argsort(order, kind="stable")
+
+    ids = np.arange(nb * tile, dtype=np.int32) % n
+    tile_rows = ids.reshape(nb, tile)[t_arr[:, 0]]
+    tile_cols = ids.reshape(nb, tile)[t_arr[:, 1]]
+
+    mt, ln = _nw_tiles_sharded(
+        jnp.asarray(seq_idx, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(sub, jnp.int32),
+        jnp.asarray(tile_rows),
+        jnp.asarray(tile_cols),
+        mesh=mesh,
+        tile=tile,
+        gap_open=gap_open,
+        gap_ext=gap_ext,
+    )
+    mt = np.asarray(mt)[inv_order]
+    ln = np.asarray(ln)[inv_order]
+
+    matches = np.zeros((nb * tile, nb * tile), dtype=np.int64)
+    length = np.zeros_like(matches)
+    for (bi, bj), m_blk, l_blk in zip(tiles, mt, ln):
+        sl_i = slice(bi * tile, (bi + 1) * tile)
+        sl_j = slice(bj * tile, (bj + 1) * tile)
+        matches[sl_i, sl_j] = m_blk
+        length[sl_i, sl_j] = l_blk
+    matches = matches[:n, :n]
+    length = length[:n, :n]
+    iu = np.triu_indices(n)
+    sims = np.zeros((n, n), dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = matches[iu].astype(np.float64) / length[iu]
+    sims[iu] = vals
+    sims.T[iu] = vals
+    return sims

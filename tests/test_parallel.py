@@ -1,0 +1,65 @@
+"""Mesh-sharded all-pairs paths vs single-device results (8 virtual CPUs)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dynaalign_tpu import blosum, encode, oracle
+from dynaalign_tpu.ops.minhash import minhash_signatures
+from dynaalign_tpu.parallel import (
+    make_mesh,
+    sharded_minhash_similarity,
+    sharded_nw_allpairs,
+    sharded_signature_agreement,
+)
+
+
+def test_mesh_shape():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.devices.size == 8  # conftest forces 8 virtual devices
+    assert mesh.shape["rows"] * mesh.shape["cols"] == 8
+
+
+@pytest.mark.parametrize("n", [16, 37])
+def test_sharded_agreement_matches_local(n, make_seqs):
+    seqs = make_seqs(n, 8, 30)
+    enc = encode.encode(seqs)
+    sigs = np.asarray(
+        minhash_signatures(enc.ascii, enc.lengths, k=3, n_hash=16, seed=5)
+    )
+    counts = sharded_signature_agreement(sigs)
+    local = (sigs[:, None, :] == sigs[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(counts, local)
+
+
+def test_sharded_minhash_matches_oracle(make_seqs):
+    seqs = make_seqs(30, 8, 40)
+    enc = encode.encode(seqs)
+    sims = sharded_minhash_similarity(
+        enc.ascii, enc.lengths, k=3, n_hash=32, seed=9
+    )
+    ref = oracle.minhash_similarity(seqs, k=3, n_hash=32, seed=9)
+    np.testing.assert_array_equal(sims, ref)
+
+
+def test_sharded_nw_matches_oracle(make_seqs):
+    seqs = make_seqs(25, 5, 40)
+    enc = encode.encode(seqs)
+    sub = blosum.get_matrix("BLOSUM62")
+    sims = sharded_nw_allpairs(enc.indices, enc.lengths, sub, tile=8)
+    ref = oracle.nw_similarity(seqs)
+    np.testing.assert_array_equal(sims, ref)
+
+
+def test_sharded_nw_small_mesh(make_seqs):
+    # a 2-device sub-mesh must give identical results
+    seqs = make_seqs(10, 5, 20)
+    enc = encode.encode(seqs)
+    sub = blosum.get_matrix("BLOSUM62")
+    mesh = make_mesh(n_devices=2)
+    sims = sharded_nw_allpairs(
+        enc.indices, enc.lengths, sub, tile=4, mesh=mesh
+    )
+    ref = oracle.nw_similarity(seqs)
+    np.testing.assert_array_equal(sims, ref)
