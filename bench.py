@@ -26,16 +26,19 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
-    from dynaalign_tpu import blosum, encode, oracle
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dynaalign_tpu import oracle
+    from dynaalign_tpu.api import similarity_nw
     from dynaalign_tpu.io.datasets import load_sequences
-    from dynaalign_tpu.parallel import make_mesh, sharded_nw_allpairs
 
     seqs = load_sequences("h3n2sample", limit=N_SEQS)
-    enc = encode.encode(seqs, pad_multiple=8)
-    sub = blosum.get_matrix("BLOSUM62")
-    mesh = make_mesh()
-
-    lens = enc.lengths.astype(np.float64)
+    lens = np.array([len(s) for s in seqs], dtype=np.float64)
     n = len(seqs)
     pair_cells = lens[:, None] * lens[None, :]
     total_cells = float(np.triu(pair_cells).sum())
@@ -43,9 +46,7 @@ def main():
 
     # --- TPU path (warm up compile, then time) -----------------------------
     def run():
-        return sharded_nw_allpairs(
-            enc.indices, enc.lengths, sub, tile=16, mesh=mesh
-        )
+        return similarity_nw(seqs)
 
     sims = run()  # compile + first run
     t0 = time.perf_counter()

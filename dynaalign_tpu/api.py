@@ -22,8 +22,8 @@ import numpy as np
 
 from . import blosum
 from .encode import encode
+from .ops import nw_batch, pick_nw_backend, tpu_available
 from .ops.minhash import minhash_signatures, signature_similarity
-from .ops.nw import nw_similarity_batch
 
 
 def labels_1n(n: int) -> list[str]:
@@ -61,7 +61,7 @@ def similarity_mh(
     return signature_similarity(sigs, block=block)
 
 
-def _nw_tile_fn(tile: int, max_len: int):
+def _nw_tile_fn(tile: int, backend: str, gap_open: int, gap_ext: int):
     """Jitted [tile x tile] NW pair-block kernel, cached per shape."""
 
     @jax.jit
@@ -74,7 +74,10 @@ def _nw_tile_fn(tile: int, max_len: int):
         la = jnp.repeat(la, tile)
         b = jnp.tile(b, (tile, 1))
         lb = jnp.tile(lb, (tile,))
-        res = nw_similarity_batch(a, la, b, lb, sub)
+        res = nw_batch(
+            a, la, b, lb, sub,
+            gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+        )
         return (
             res.matches.reshape(tile, tile),
             res.length.reshape(tile, tile),
@@ -116,33 +119,53 @@ def similarity_nw(
     if n == 0:
         raise ValueError("Input sequences vector cannot be empty")
     sub = jnp.asarray(blosum.get_matrix(matrix_name))
-    enc = encode(sequences, pad_multiple=8)
-    t = tile or _pick_tile(n, enc.max_len)
+    max_len = max(len(s) for s in sequences)
+    # Pallas fast path wants lane-aligned DP rows: (padded_len + 1) % 128
+    use_pallas = tpu_available() and 48 <= max_len <= 4000
+    if use_pallas:
+        pad_to = -(-(max_len + 1) // 128) * 128 - 1
+        enc = encode(sequences, pad_to=pad_to)
+        t = tile or 16  # 256 pairs/call fills the kernel's VMEM budget
+        backend = "pallas"
+    else:
+        enc = encode(sequences, pad_multiple=8)
+        t = tile or _pick_tile(n, enc.max_len)
+        backend = pick_nw_backend(enc.max_len, enc.max_len)
     nb = -(-n // t)
     # pad index space so every block is full; padded entries masked later
     pad_n = nb * t
     seq_idx = jnp.asarray(enc.indices)
     lengths = jnp.asarray(enc.lengths)
-    tile_fn = _nw_tile_fn(t, enc.max_len)
+    tile_fn = _nw_tile_fn(t, backend, gap_open, gap_ext)
 
     matches = np.zeros((pad_n, pad_n), dtype=np.int64)
     length = np.zeros((pad_n, pad_n), dtype=np.int64)
-    pending: list[tuple[int, int, object, object]] = []
-    for bi in range(nb):
-        rows = np.arange(bi * t, (bi + 1) * t) % n
-        for bj in range(bi, nb):
-            cols = np.arange(bj * t, (bj + 1) * t) % n
-            mt, ln = tile_fn(
-                seq_idx, lengths, sub, jnp.asarray(rows), jnp.asarray(cols)
-            )
-            pending.append((bi, bj, mt, ln))
-        if progress:
-            print(f"nw: row block {bi + 1}/{nb}", flush=True)
-    for bi, bj, mt, ln in pending:
+    coords = [
+        (bi, bj) for bi in range(nb) for bj in range(bi, nb)
+    ]
+    block_ids = np.arange(pad_n, dtype=np.int32).reshape(nb, t) % n
+    # ship ALL tile index blocks in one host->device transfer; per-call
+    # slicing then happens device-side (no round trips in the loop)
+    all_rows = jnp.asarray(block_ids[[c[0] for c in coords]])
+    all_cols = jnp.asarray(block_ids[[c[1] for c in coords]])
+    pend_mt: list = []
+    pend_ln: list = []
+    for k in range(len(coords)):
+        mt, ln = tile_fn(
+            seq_idx, lengths, sub, all_rows[k], all_cols[k]
+        )
+        pend_mt.append(mt)
+        pend_ln.append(ln)
+        if progress and (k + 1) % 50 == 0:
+            print(f"nw: tile {k + 1}/{len(coords)}", flush=True)
+    # one batched device->host transfer instead of one sync per tile
+    all_mt = np.asarray(jnp.stack(pend_mt))
+    all_ln = np.asarray(jnp.stack(pend_ln))
+    for (bi, bj), mt, ln in zip(coords, all_mt, all_ln):
         sl_i = slice(bi * t, (bi + 1) * t)
         sl_j = slice(bj * t, (bj + 1) * t)
-        matches[sl_i, sl_j] = np.asarray(mt)
-        length[sl_i, sl_j] = np.asarray(ln)
+        matches[sl_i, sl_j] = mt
+        length[sl_i, sl_j] = ln
 
     matches = matches[:n, :n]
     length = length[:n, :n]

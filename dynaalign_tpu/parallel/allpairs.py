@@ -31,7 +31,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.nw import nw_similarity_batch
+from ..ops import nw_batch, pick_nw_backend, tpu_available
 from .mesh import COLS, ROWS, make_mesh
 
 __all__ = [
@@ -126,7 +126,7 @@ def sharded_minhash_similarity(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "tile", "gap_open", "gap_ext"),
+    static_argnames=("mesh", "tile", "gap_open", "gap_ext", "backend"),
 )
 def _nw_tiles_sharded(
     seq_idx: jnp.ndarray,  # int32 [N, L] (replicated)
@@ -139,6 +139,7 @@ def _nw_tiles_sharded(
     tile: int,
     gap_open: int,
     gap_ext: int,
+    backend: str = "auto",
 ):
     """Sweep T pair-tiles over the flattened mesh; T % ndev == 0.
 
@@ -157,8 +158,9 @@ def _nw_tiles_sharded(
             la = jnp.repeat(la, tile)
             b = jnp.tile(b, (tile, 1))
             lb = jnp.tile(lb, (tile,))
-            res = nw_similarity_batch(
-                a, la, b, lb, submat, gap_open=gap_open, gap_ext=gap_ext
+            res = nw_batch(
+                a, la, b, lb, submat,
+                gap_open=gap_open, gap_ext=gap_ext, backend=backend,
             )
             return (
                 res.matches.reshape(tile, tile),
@@ -189,6 +191,7 @@ def sharded_nw_allpairs(
     gap_open: int = 10,
     gap_ext: int = 4,
     mesh: Mesh | None = None,
+    backend: str = "auto",
 ) -> np.ndarray:
     """All-pairs NW percent-identity on a mesh.  Returns float64 [N, N].
 
@@ -229,6 +232,9 @@ def sharded_nw_allpairs(
         tile=tile,
         gap_open=gap_open,
         gap_ext=gap_ext,
+        backend=pick_nw_backend(
+            seq_idx.shape[1], seq_idx.shape[1], backend
+        ),
     )
     mt = np.asarray(mt)[inv_order]
     ln = np.asarray(ln)[inv_order]

@@ -1,0 +1,71 @@
+"""Pallas NW kernel (interpret mode off-TPU) vs the C++ oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynaalign_tpu import blosum, encode, oracle
+from dynaalign_tpu.ops import pick_nw_backend
+from dynaalign_tpu.ops.nw_pallas import nw_similarity_batch_pallas
+
+
+def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None):
+    a_seqs = [p[0] for p in pairs]
+    b_seqs = [p[1] for p in pairs]
+    ea = encode.encode(a_seqs, pad_to=pad_to)
+    eb = encode.encode(b_seqs, pad_to=pad_to)
+    sub = jnp.asarray(blosum.get_matrix(matrix))
+    res = nw_similarity_batch_pallas(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub, gap_open=go, gap_ext=ge, interpret=True,
+    )
+    return res.similarity()
+
+
+def _oracle(pairs, matrix="BLOSUM62", go=10, ge=4):
+    return np.array(
+        [oracle.nw_pair(a, b, matrix, go, ge) for a, b in pairs]
+    )
+
+
+def test_pallas_bit_exact_random(make_seqs):
+    seqs = make_seqs(40, 1, 60, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:20], seqs[20:]))
+    np.testing.assert_array_equal(_run(pairs), _oracle(pairs))
+
+
+@pytest.mark.parametrize("gaps", [(5, 1), (12, 2)])
+def test_pallas_gap_variants(gaps, make_seqs):
+    go, ge = gaps
+    seqs = make_seqs(16, 3, 40)
+    pairs = list(zip(seqs[:8], seqs[8:]))
+    np.testing.assert_array_equal(
+        _run(pairs, go=go, ge=ge), _oracle(pairs, go=go, ge=ge)
+    )
+
+
+def test_pallas_lane_aligned_shapes(make_seqs):
+    # the production tiling pads to (128k - 1); exercise that exact shape
+    seqs = make_seqs(8, 100, 120)
+    pairs = list(zip(seqs[:4], seqs[4:]))
+    np.testing.assert_array_equal(
+        _run(pairs, pad_to=127), _oracle(pairs)
+    )
+
+
+def test_packed_length_guard():
+    e = encode.encode(["A" * 5000], pad_to=5000)
+    with pytest.raises(ValueError, match="packed-length"):
+        nw_similarity_batch_pallas(
+            jnp.asarray(e.indices), jnp.asarray(e.lengths),
+            jnp.asarray(e.indices), jnp.asarray(e.lengths),
+            jnp.asarray(blosum.get_matrix()), interpret=True,
+        )
+
+
+def test_backend_dispatch():
+    # CPU test env: auto must fall back to scan
+    assert pick_nw_backend(127, 127, "auto") == "scan"
+    assert pick_nw_backend(127, 127, "pallas") == "pallas"
+    assert pick_nw_backend(639, 639, "scan") == "scan"
