@@ -26,6 +26,7 @@ R via .Call.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Sequence
 
 import numpy as np
@@ -109,6 +110,29 @@ def louvain_mod(
     }
 
 
+def _save_checkpoint(path: str, state: dict) -> None:
+    import pickle
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path: str) -> dict | None:
+    import pickle
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _clear_checkpoint(path: str) -> None:
+    if os.path.exists(path):
+        os.remove(path)
+
+
 @dataclasses.dataclass
 class ClusterBreakResult:
     """Reference return structure (R/clusterbreak.R:257-258)."""
@@ -137,6 +161,8 @@ def clusterbreak(
     resolution: float = 1.05,
     seed: int = 0,
     verbose: bool = True,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
 ) -> ClusterBreakResult:
     """Recursive size-capped clustering (R/clusterbreak.R:180-275).
 
@@ -145,6 +171,14 @@ def clusterbreak(
     threshold → Louvain membership → clusters larger than ``size_max``
     recurse on a fresh similarity matrix, smaller than ``size_min`` are
     dropped to ``filtered_seq``, the rest are labeled "<itr>.<cid>".
+
+    The recursion is executed as an explicit depth-first worklist with
+    the reference's pre-order ``itr`` numbering, which makes long runs
+    checkpointable: pass ``checkpoint_path`` to persist
+    (worklist, itr, outputs) every ``checkpoint_every`` subsets and to
+    resume an interrupted run transparently (the reference keeps all
+    state in an in-memory environment, R/clusterbreak.R:197-201, and has
+    no resume capability — SURVEY.md §5).
     """
     if size_max <= size_min:
         raise ValueError("size_max must be greater than size_min")
@@ -159,16 +193,35 @@ def clusterbreak(
 
     state = {
         "rows": [],  # list of (sequence, label)
-        "itr": 1,
+        "itr": 0,
         "convergence": 1,
         "filtered": [],
+        "stack": [[str(s) for s in pep]],  # DFS worklist (LIFO)
+        "input_fingerprint": (len(pep), str(pep[0]), str(pep[-1])),
     }
+    if checkpoint_path is not None:
+        loaded = _load_checkpoint(checkpoint_path)
+        if loaded is not None:
+            if loaded["input_fingerprint"] != state["input_fingerprint"]:
+                raise ValueError(
+                    "checkpoint does not match the input sequence set"
+                )
+            state = loaded
+            log_message(
+                f"Resumed from checkpoint at itr={state['itr']}", "INFO"
+            )
 
-    def cluster_recursive(sub: list[str]) -> None:
+    processed_since_ckpt = 0
+    while state["stack"]:
+        sub = state["stack"].pop()
+        state["itr"] += 1
         if state["itr"] > max_itr:
             log_message("Maximum function calls reached", "WARNING")
             state["convergence"] = 0
-            return
+            # the reference aborts this branch; remaining siblings would
+            # each trip the same guard, so drain the worklist
+            state["stack"].clear()
+            break
 
         sim = np.asarray(sim_fn(sub), dtype=np.float64)
         t = quantile_threshold(sim, thresh_p)
@@ -186,24 +239,29 @@ def clusterbreak(
         for s in seqs[np.isin(c_index, list(id_rm))]:
             state["filtered"].append(str(s))
 
-        if not id_itr:
-            keep = ~np.isin(c_index, list(id_rm))
-            for s, cid in zip(seqs[keep], c_index[keep]):
-                state["rows"].append((str(s), f"{state['itr']}.{cid}"))
-            return
-
-        mid = ~np.isin(c_index, list(id_rm)) & ~np.isin(
+        keep = ~np.isin(c_index, list(id_rm)) & ~np.isin(
             c_index, list(id_itr)
         )
-        for s, cid in zip(seqs[mid], c_index[mid]):
+        for s, cid in zip(seqs[keep], c_index[keep]):
             state["rows"].append((str(s), f"{state['itr']}.{cid}"))
 
-        for cid in sorted(id_itr):
-            members = seqs[c_index == cid]
-            state["itr"] += 1
-            cluster_recursive([str(s) for s in members])
+        # push oversized clusters in reverse so the lowest cluster id is
+        # processed next — reproduces the reference's DFS pre-order itr
+        # numbering (R/clusterbreak.R:250-254)
+        for cid in sorted(id_itr, reverse=True):
+            members = [str(s) for s in seqs[c_index == cid]]
+            state["stack"].append(members)
 
-    cluster_recursive(pep)
+        processed_since_ckpt += 1
+        if (
+            checkpoint_path is not None
+            and processed_since_ckpt >= checkpoint_every
+        ):
+            _save_checkpoint(checkpoint_path, state)
+            processed_since_ckpt = 0
+
+    if checkpoint_path is not None:
+        _clear_checkpoint(checkpoint_path)
 
     if verbose:
         if state["convergence"] == 1:

@@ -1,4 +1,10 @@
 from . import reference_r  # noqa: F401
+from .pipeline import (  # noqa: F401
+    Pipeline,
+    PipelineResult,
+    nw_rescore_pairs,
+    similarity_hybrid,
+)
 from .reference_r import (  # noqa: F401
     apply_hash,
     compute_distance_matrix,

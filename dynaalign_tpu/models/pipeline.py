@@ -1,0 +1,208 @@
+"""The flagship end-to-end pipeline: similarity → clusterbreak → consensus.
+
+This is the framework's "model": the full peptide-clustering flow the
+reference demonstrates in its README (README.md:33-64 — similarity matrix
+→ clusterbreak → clusterconsensus), packaged behind one configurable
+object.  Three similarity engines:
+
+* ``"mh"``     — MinHash Jaccard estimate on TPU (similarityMH parity);
+* ``"nw"``     — exact NW percent identity on TPU (similarityNW parity);
+* ``"hybrid"`` — MH prefilter + exact NW rescoring of the surviving
+  pairs (the viral-panel hybrid config, BASELINE.md config 4): cheap
+  signatures prune the pair space, then only pairs at/above the MH
+  quantile threshold go through the exact DP, batched through the same
+  Pallas/scan kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import blosum
+from ..api import similarity_mh, similarity_nw
+from ..cluster import ClusterBreakResult, clusterbreak
+from ..config import PipelineConfig
+from ..consensus import cluster_consensus
+from ..encode import encode
+from ..ops import nw_batch, pick_nw_backend, tpu_available
+
+
+def nw_rescore_pairs(
+    sequences: Sequence[str],
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    *,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    batch: int = 256,
+) -> np.ndarray:
+    """Exact NW similarity for an explicit pair list (batched on device)."""
+    max_len = max(len(s) for s in sequences)
+    use_pallas = tpu_available() and 48 <= max_len <= 4000
+    if use_pallas:
+        pad_to = -(-(max_len + 1) // 128) * 128 - 1
+        backend = "pallas"
+    else:
+        pad_to = None
+        backend = "scan"
+    enc = encode(sequences, pad_to=pad_to, pad_multiple=8)
+    seq_idx = jnp.asarray(enc.indices)
+    lengths = jnp.asarray(enc.lengths)
+    sub = jnp.asarray(blosum.get_matrix(matrix_name))
+
+    n_pairs = len(pair_i)
+    pad = -(-max(n_pairs, 1) // batch) * batch
+    pi = np.zeros(pad, dtype=np.int32)
+    pj = np.zeros(pad, dtype=np.int32)
+    pi[:n_pairs] = pair_i
+    pj[:n_pairs] = pair_j
+    out_mt: list = []
+    out_ln: list = []
+    pi_dev = jnp.asarray(pi)
+    pj_dev = jnp.asarray(pj)
+    for s in range(0, pad, batch):
+        rows = pi_dev[s : s + batch]
+        cols = pj_dev[s : s + batch]
+        res = nw_batch(
+            jnp.take(seq_idx, rows, axis=0),
+            jnp.take(lengths, rows),
+            jnp.take(seq_idx, cols, axis=0),
+            jnp.take(lengths, cols),
+            sub,
+            gap_open=gap_open,
+            gap_ext=gap_ext,
+            backend=backend,
+        )
+        out_mt.append(res.matches)
+        out_ln.append(res.length)
+    mt = np.asarray(jnp.concatenate(out_mt))[:n_pairs]
+    ln = np.asarray(jnp.concatenate(out_ln))[:n_pairs]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return mt.astype(np.float64) / ln
+
+
+def similarity_hybrid(
+    sequences: Sequence[str],
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    prefilter_quantile: float = 0.8,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+) -> np.ndarray:
+    """MH prefilter + exact NW rescoring of the surviving pairs.
+
+    Pairs below the MH quantile threshold keep similarity 0; the rest are
+    replaced with exact NW percent identity.  Diagonal is 1.0.
+    """
+    sequences = list(sequences)
+    n = len(sequences)
+    mh = similarity_mh(sequences, k=k, n_hash=n_hash, seed=seed)
+    iu = np.triu_indices(n, k=1)
+    vals = mh[iu]
+    t = np.quantile(vals, prefilter_quantile) if vals.size else 0.0
+    keep = vals >= t
+    pi, pj = iu[0][keep], iu[1][keep]
+    out = np.zeros((n, n), dtype=np.float64)
+    if len(pi):
+        sims = nw_rescore_pairs(
+            sequences, pi, pj,
+            matrix_name=matrix_name, gap_open=gap_open, gap_ext=gap_ext,
+        )
+        out[pi, pj] = sims
+        out[pj, pi] = sims
+    np.fill_diagonal(out, 1.0)
+    return out
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    similarity: np.ndarray | None
+    clusters: ClusterBreakResult
+    consensus: np.ndarray
+
+
+class Pipeline:
+    """similarity → clusterbreak → cluster_consensus, configured once.
+
+    The injectable ``sim_fn`` / ``cluster_fn`` extension point of the
+    reference (R/clusterbreak.R:185-188) is preserved: pass callables to
+    override either stage.
+    """
+
+    def __init__(
+        self,
+        config: PipelineConfig | None = None,
+        *,
+        sim_fn=None,
+        cluster_fn=None,
+    ):
+        self.config = config or PipelineConfig()
+        self._sim_fn = sim_fn
+        self._cluster_fn = cluster_fn
+
+    def similarity(self, sequences: Sequence[str]) -> np.ndarray:
+        cfg = self.config
+        if self._sim_fn is not None:
+            return np.asarray(self._sim_fn(list(sequences)))
+        if cfg.similarity == "mh":
+            return similarity_mh(
+                sequences, k=cfg.minhash.k, n_hash=cfg.minhash.n_hash,
+                seed=cfg.minhash.seed,
+            )
+        if cfg.similarity == "nw":
+            return similarity_nw(
+                sequences, cfg.nw.matrix_name, cfg.nw.gap_open,
+                cfg.nw.gap_ext,
+            )
+        if cfg.similarity == "hybrid":
+            return similarity_hybrid(
+                sequences, k=cfg.minhash.k, n_hash=cfg.minhash.n_hash,
+                seed=cfg.minhash.seed,
+                prefilter_quantile=cfg.hybrid.prefilter_quantile,
+                matrix_name=cfg.nw.matrix_name,
+                gap_open=cfg.nw.gap_open, gap_ext=cfg.nw.gap_ext,
+            )
+        raise ValueError(f"unknown similarity engine {cfg.similarity!r}")
+
+    def cluster(
+        self, sequences: Sequence[str], **overrides
+    ) -> ClusterBreakResult:
+        cfg = self.config.clusterbreak
+        kwargs = dict(
+            thresh_p=cfg.thresh_p, size_max=cfg.size_max,
+            size_min=cfg.size_min, max_itr=cfg.max_itr,
+            resolution=cfg.resolution, seed=cfg.seed, verbose=False,
+        )
+        kwargs.update(overrides)
+        return clusterbreak(
+            sequences,
+            sim_fn=self._sim_fn or self.similarity,
+            cluster_fn=self._cluster_fn,
+            **kwargs,
+        )
+
+    def consensus(self, clusters: ClusterBreakResult) -> np.ndarray:
+        cfg = self.config.consensus
+        return cluster_consensus(
+            clusters.clustered_seq,
+            matrix_name=cfg.matrix_name, threshold=cfg.threshold,
+        )
+
+    def run(self, sequences: Sequence[str], **cluster_overrides) -> PipelineResult:
+        clusters = self.cluster(sequences, **cluster_overrides)
+        consensus = (
+            self.consensus(clusters)
+            if len(clusters.clustered_seq)
+            else np.empty((0, 2), dtype=object)
+        )
+        return PipelineResult(
+            similarity=None, clusters=clusters, consensus=consensus
+        )

@@ -1,0 +1,88 @@
+"""Integration tests on the bundled real datasets — promoting the
+reference's workspace validation studies (correlation + ARI,
+workspace/troyWspc.Rmd:41-189) into the test suite (SURVEY.md §4 (c))."""
+
+import numpy as np
+import pytest
+
+from dynaalign_tpu import oracle, similarity_mh, similarity_nw
+from dynaalign_tpu.cluster import clusterbreak
+from dynaalign_tpu.io.datasets import load_dataset, load_sequences
+
+
+def _ari(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = len(a)
+    _, ia = np.unique(a, return_inverse=True)
+    _, ib = np.unique(b, return_inverse=True)
+    ct = np.zeros((ia.max() + 1, ib.max() + 1), dtype=np.int64)
+    np.add.at(ct, (ia, ib), 1)
+    comb = lambda x: x * (x - 1) / 2  # noqa: E731
+    sum_ij = comb(ct).sum()
+    sum_a = comb(ct.sum(1)).sum()
+    sum_b = comb(ct.sum(0)).sum()
+    exp = sum_a * sum_b / comb(n)
+    mx = (sum_a + sum_b) / 2
+    return (sum_ij - exp) / (mx - exp) if mx != exp else 1.0
+
+
+def test_nw_bit_exact_on_h3n2_subset():
+    # the BASELINE bit-exactness target, on a CI-sized subset
+    seqs = load_sequences("h3n2sample", limit=12)
+    np.testing.assert_array_equal(
+        similarity_nw(seqs), oracle.nw_similarity(seqs)
+    )
+
+
+def test_mh_bit_exact_on_peparray():
+    seqs = load_sequences("evp_peparray", limit=200)
+    got = similarity_mh(seqs, k=2, n_hash=50, seed=0)
+    want = oracle.minhash_similarity(seqs, k=2, n_hash=50, seed=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mh_nw_correlation_long_sequences():
+    """MH similarity must correlate with exact NW on real HA proteins
+    (the reference's accuracy protocol, workspace/troyWspc.Rmd:41-133)."""
+    seqs = load_sequences("h3n2sample", limit=30)
+    mh = similarity_mh(seqs, k=4, n_hash=200, seed=0)
+    nw = oracle.nw_similarity(seqs, n_threads=0)
+    iu = np.triu_indices(len(seqs), k=1)
+    r = np.corrcoef(mh[iu], nw[iu])[0, 1]
+    assert r > 0.5, f"MH-NW Pearson correlation too low: {r:.3f}"
+
+
+def test_clusterbreak_ari_vs_clades():
+    """clusterbreak clusters must align with H3N2 clade labels
+    (the reference's clustering-quality protocol,
+    workspace/troyWspc.Rmd:134-189)."""
+    cols = load_dataset("h3n2sample")
+    rng = np.random.default_rng(0)
+    # stratified sample over clades for a fast but non-trivial instance
+    clades = np.asarray(cols["clade"])
+    seqs_all = np.asarray(cols["sequence"])
+    keep_idx = []
+    for clade in np.unique(clades):
+        idx = np.nonzero(clades == clade)[0]
+        take = min(len(idx), 25)
+        keep_idx.extend(rng.choice(idx, size=take, replace=False))
+    keep_idx = np.array(sorted(keep_idx))
+    seqs = [str(s) for s in seqs_all[keep_idx]]
+    labels = clades[keep_idx]
+    # dedupe (clusterbreak assumes distinct membership rows)
+    seen = {}
+    for s, lab in zip(seqs, labels):
+        seen.setdefault(s, lab)
+    seqs = list(seen)
+    labels = np.array([seen[s] for s in seqs])
+
+    result = clusterbreak(
+        seqs, thresh_p=0.8, size_max=len(seqs), size_min=1,
+        sim_fn=lambda x: similarity_mh(x, k=4, n_hash=300, seed=0),
+        verbose=False,
+    )
+    assign = dict(zip(result.clustered_seq[:, 0], result.clustered_seq[:, 1]))
+    got = np.array([assign.get(s, "none") for s in seqs])
+    score = _ari(got, labels)
+    assert score > 0.3, f"ARI vs clades too low: {score:.3f}"
