@@ -1,0 +1,231 @@
+"""Benchmark harness over the BASELINE.json configs.
+
+Each benchmark prints one JSON line (and ``--all`` runs every config), in
+the same shape as the repo-root ``bench.py`` headline metric:
+
+  1. mh_quickstart   — similarityMH k=2 n_hash=50 on evp_peparray
+                       (README quick-start config)
+  2. nw_h3n2         — exact NW on h3n2sample (BASELINE NW config)
+  3. clusterbreak    — clusterbreak size_max=800 + consensus on h3n2sample
+  4. hybrid_panels   — MH+NW hybrid rescoring on the viral panels
+  5. scaling         — sharded all-pairs scaling efficiency over mesh
+                       sizes (virtual CPU devices unless on a real slice)
+
+Usage:
+  python benchmarks/run_benchmarks.py --bench mh_quickstart
+  python benchmarks/run_benchmarks.py --all --mh-limit 641 --nw-limit 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def bench_mh_quickstart(args) -> None:
+    from dynaalign_tpu import oracle, similarity_mh
+    from dynaalign_tpu.io.datasets import load_sequences
+
+    seqs = load_sequences("evp_peparray", limit=args.mh_limit)
+    n = len(seqs)
+    sim = similarity_mh(seqs, k=2, n_hash=50, seed=0)  # warm-up/compile
+    t0 = time.perf_counter()
+    sim = similarity_mh(seqs, k=2, n_hash=50, seed=0)
+    dt = time.perf_counter() - t0
+    n_pairs = n * (n - 1) // 2
+    t0 = time.perf_counter()
+    ref = oracle.minhash_similarity(seqs, k=2, n_hash=50, seed=0)
+    cpu_dt = time.perf_counter() - t0
+    _emit({
+        "metric": "mh_quickstart_pairs_per_sec",
+        "value": round(n_pairs / dt, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(cpu_dt / dt, 2),
+        "n_seqs": n,
+        "bit_exact": bool(np.array_equal(sim, ref)),
+        "tpu_seconds": round(dt, 4),
+        "cpu_seconds": round(cpu_dt, 4),
+    })
+
+
+def bench_nw_h3n2(args) -> None:
+    from dynaalign_tpu import oracle
+    from dynaalign_tpu.api import similarity_nw
+    from dynaalign_tpu.io.datasets import load_sequences
+
+    seqs = load_sequences("h3n2sample", limit=args.nw_limit)
+    n = len(seqs)
+    sims = similarity_nw(seqs)  # warm-up/compile
+    t0 = time.perf_counter()
+    sims = similarity_nw(seqs)
+    dt = time.perf_counter() - t0
+    n_pairs = n * (n + 1) // 2
+    nb = min(n, args.baseline_limit)
+    t0 = time.perf_counter()
+    base = oracle.nw_similarity(seqs[:nb], n_threads=1)
+    cpu_dt = time.perf_counter() - t0
+    cpu_rate = (nb * (nb + 1) // 2) / cpu_dt
+    _emit({
+        "metric": "nw_h3n2_pairs_per_sec",
+        "value": round(n_pairs / dt, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(n_pairs / dt / cpu_rate, 2),
+        "n_seqs": n,
+        "bit_exact": bool(np.array_equal(sims[:nb, :nb], base)),
+        "tpu_seconds": round(dt, 3),
+    })
+
+
+def bench_clusterbreak(args) -> None:
+    from dynaalign_tpu import similarity_mh
+    from dynaalign_tpu.cluster import clusterbreak
+    from dynaalign_tpu.consensus import cluster_consensus
+    from dynaalign_tpu.io.datasets import load_sequences
+
+    seqs = list(dict.fromkeys(
+        load_sequences("h3n2sample", limit=args.cb_limit)
+    ))
+    t0 = time.perf_counter()
+    result = clusterbreak(
+        seqs, thresh_p=0.8, size_max=800, size_min=3,
+        sim_fn=lambda x: similarity_mh(x, k=4, n_hash=500, seed=0),
+        verbose=False,
+    )
+    cluster_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cons = (
+        cluster_consensus(result.clustered_seq)
+        if len(result.clustered_seq)
+        else []
+    )
+    cons_dt = time.perf_counter() - t0
+    _emit({
+        "metric": "clusterbreak_seqs_per_sec",
+        "value": round(len(seqs) / cluster_dt, 1),
+        "unit": "seqs/s",
+        "vs_baseline": None,
+        "n_seqs": len(seqs),
+        "n_clusters": len(cons),
+        "n_filtered": len(result.filtered_seq),
+        "converged": result.converged,
+        "cluster_seconds": round(cluster_dt, 2),
+        "consensus_seconds": round(cons_dt, 2),
+    })
+
+
+def bench_hybrid_panels(args) -> None:
+    from dynaalign_tpu.models import similarity_hybrid
+    from dynaalign_tpu.io.datasets import load_sequences
+
+    results = {}
+    total_pairs = 0
+    total_dt = 0.0
+    for panel in ("adenovirus", "parvovirus", "polyomavirus"):
+        seqs = load_sequences(panel, limit=args.panel_limit)
+        n = len(seqs)
+        t0 = time.perf_counter()
+        similarity_hybrid(seqs, k=4, n_hash=50, seed=0)
+        dt = time.perf_counter() - t0
+        results[panel] = round(dt, 2)
+        total_pairs += n * (n - 1) // 2
+        total_dt += dt
+    _emit({
+        "metric": "hybrid_panels_pairs_per_sec",
+        "value": round(total_pairs / total_dt, 1),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+        "panel_seconds": results,
+    })
+
+
+def bench_scaling(args) -> None:
+    """Sharded all-pairs scaling efficiency across mesh sizes.
+
+    On CI this runs on XLA host-platform virtual devices, which measures
+    partitioning correctness and overhead, not real ICI scaling; on a
+    real multi-chip slice the same code reports true scaling efficiency
+    (the >=80% at 2+ hosts BASELINE target)."""
+    import jax
+
+    from dynaalign_tpu import encode
+    from dynaalign_tpu.ops.minhash import minhash_signatures
+    from dynaalign_tpu.parallel import make_mesh, sharded_signature_agreement
+
+    rng = np.random.default_rng(0)
+    aas = list("ARNDCQEGHILKMFPSTWYV")
+    seqs = ["".join(rng.choice(aas, size=12)) for _ in range(args.scale_n)]
+    enc = encode.encode(seqs)
+    sigs = np.asarray(
+        minhash_signatures(enc.ascii, enc.lengths, k=2, n_hash=64, seed=0)
+    )
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, n_dev) if d <= n_dev]
+    sizes = sorted(set(sizes))
+    rates = {}
+    for d in sizes:
+        mesh = make_mesh(n_devices=d)
+        sharded_signature_agreement(sigs, mesh)  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(args.scale_reps):
+            sharded_signature_agreement(sigs, mesh)
+        dt = (time.perf_counter() - t0) / args.scale_reps
+        rates[d] = len(seqs) ** 2 / dt
+    base = rates[sizes[0]]
+    eff = {
+        str(d): round(rates[d] / (base * d), 3) for d in sizes
+    }
+    _emit({
+        "metric": "scaling_efficiency",
+        "value": eff[str(sizes[-1])],
+        "unit": f"fraction of linear at {sizes[-1]} devices",
+        "vs_baseline": None,
+        "devices": sizes,
+        "efficiency": eff,
+        "platform": jax.devices()[0].platform,
+    })
+
+
+BENCHES = {
+    "mh_quickstart": bench_mh_quickstart,
+    "nw_h3n2": bench_nw_h3n2,
+    "clusterbreak": bench_clusterbreak,
+    "hybrid_panels": bench_hybrid_panels,
+    "scaling": bench_scaling,
+}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--bench", choices=sorted(BENCHES))
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--mh-limit", type=int, default=641)
+    p.add_argument("--nw-limit", type=int, default=128)
+    p.add_argument("--baseline-limit", type=int, default=24)
+    p.add_argument("--cb-limit", type=int, default=1000)
+    p.add_argument("--panel-limit", type=int, default=300)
+    p.add_argument("--scale-n", type=int, default=2048)
+    p.add_argument("--scale-reps", type=int, default=3)
+    args = p.parse_args(argv)
+    if not args.all and not args.bench:
+        p.error("pass --bench NAME or --all")
+    names = sorted(BENCHES) if args.all else [args.bench]
+    for name in names:
+        BENCHES[name](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
