@@ -49,9 +49,11 @@ def main():
         return similarity_nw(seqs)
 
     sims = run()  # compile + first run
-    t0 = time.perf_counter()
-    sims = run()
-    tpu_time = time.perf_counter() - t0
+    tpu_time = float("inf")
+    for _ in range(2):  # best-of-2 to damp relay/dispatch jitter
+        t0 = time.perf_counter()
+        sims = run()
+        tpu_time = min(tpu_time, time.perf_counter() - t0)
     tpu_pairs_per_sec = n_pairs / tpu_time
     tpu_cells_per_sec = total_cells / tpu_time
 
@@ -59,9 +61,11 @@ def main():
     base_seqs = seqs[:N_BASELINE]
     nb = len(base_seqs)
     base_pairs = nb * (nb + 1) // 2
-    t0 = time.perf_counter()
-    base = oracle.nw_similarity(base_seqs, n_threads=1)
-    cpu_time = time.perf_counter() - t0
+    cpu_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        base = oracle.nw_similarity(base_seqs, n_threads=1)
+        cpu_time = min(cpu_time, time.perf_counter() - t0)
     cpu_pairs_per_sec = base_pairs / cpu_time
 
     # correctness spot check on the overlapping block
