@@ -38,4 +38,10 @@ from .analysis import (  # noqa: F401,E402
     consensus_plot,
     plot_similarity_matrix,
 )
-from .models import minhash, shingle  # noqa: F401,E402
+from .models import (  # noqa: F401,E402
+    Pipeline,
+    minhash,
+    shingle,
+    similarity_hybrid,
+)
+from .ops.topk_graph import cluster_large  # noqa: F401,E402

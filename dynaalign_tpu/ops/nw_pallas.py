@@ -86,11 +86,11 @@ def _pack_score_diagonals(
 
 
 def _kernel(
-    sd_ref,  # int8 [1, B, Mp1] — packed scores of this diagonal
+    sd_ref,  # int8 [2, B, Mp1] — packed scores of diagonals 2g+1, 2g+2
     alen_ref,  # int32 [B, 1]
     fd_ref,  # int32 [B, 1] — final diagonal (m + n) per pair
     out_ref,  # int32 [B, 1] — packed (matches << 13 | length)
-    # scratch: two parity sets of (M, Ix, Iy, MTLN) + capture accum
+    # scratch: odd-diagonal set (a), even-diagonal set (b), capture accum
     m_a, ix_a, iy_a, s_a,
     m_b, ix_b, iy_b, s_b,
     cap,
@@ -100,44 +100,44 @@ def _kernel(
     bsz: int,
     mp1: int,
 ):
+    """Two anti-diagonals per grid step.
+
+    With a pair of diagonals per step the parity mapping is fixed —
+    set_b always holds the latest even diagonal, set_a the latest odd —
+    so the body is straight-line (no parity branches), scratch reads
+    halve, and per-step grid overhead halves.  D_total must be even
+    (square padded shapes give D = 2*Mpad).
+    """
     g = pl.program_id(0)
-    d1 = g + 1  # diagonal number being computed
     lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, mp1), 1)
 
     @pl.when(g == 0)
     def _init():
-        # prev (= diagonal 0): M=0 at lane 0, sentinels elsewhere
+        # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
         m_b[:] = jnp.where(lane == 0, 0, NEG)
         ix_b[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         iy_b[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         s_b[:] = jnp.zeros((bsz, mp1), jnp.int32)
-        # prev2 (= diagonal -1): never a real ancestor; sentinels
+        # odd set (= diagonal -1): never a real ancestor; sentinels
         m_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         ix_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         iy_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         s_a[:] = jnp.zeros((bsz, mp1), jnp.int32)
         cap[:] = jnp.zeros((bsz, 1), jnp.int32)
 
-    packed = sd_ref[0].astype(jnp.int32)
-    score = packed >> 1  # arithmetic shift == floor((2s+m)/2) == s
-    match = packed & 1
+    def sh(x):  # shifted[i] = x[i-1] (lane 0 cyclic garbage, masked later)
+        return pltpu.roll(x, 1, 1)
 
-    def body(prev, prev2_and_dst):
-        """prev = (M, Ix, Iy, MTLN) refs of diagonal d1-1; prev2_and_dst =
-        refs of diagonal d1-2, overwritten in place with diagonal d1."""
+    def cell(d1, score, match, prev, prev2):
+        """One diagonal's update from in-register (M, Ix, Iy, S) tuples."""
         pM, pIx, pIy, pS = prev
-        qM, qIx, qIy, qS = prev2_and_dst
+        qM, qIx, qIy, qS = prev2
 
-        def sh(ref):  # shifted[i] = ref[i-1] (lane 0 cyclic garbage,
-            return pltpu.roll(ref[:], 1, 1)  # overwritten by borders)
-
-        up_m, up_ix, up_s = sh(pM), sh(pIx), sh(pS)
-        di_m, di_ix, di_iy, di_s = sh(qM), sh(qIx), sh(qIy), sh(qS)
-        left_m, left_iy, left_s = pM[:], pIy[:], pS[:]
-
-        ix = jnp.maximum(up_m - (go + ge), up_ix - ge)
-        iy = jnp.maximum(left_m - (go + ge), left_iy - ge)
-        mnew = jnp.maximum(di_m, jnp.maximum(di_ix, di_iy)) + score
+        ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
+        iy = jnp.maximum(pM - (go + ge), pIy - ge)
+        mnew = jnp.maximum(
+            sh(qM), jnp.maximum(sh(qIx), sh(qIy))
+        ) + score
 
         d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
         u_sel = (~d_sel) & (ix >= iy)
@@ -145,8 +145,8 @@ def _kernel(
         s_cell = (
             jnp.where(
                 d_sel,
-                di_s + (match << _LN_BITS),
-                jnp.where(u_sel, up_s, left_s),
+                sh(qS) + (match << _LN_BITS),
+                jnp.where(u_sel, sh(pS), pS),
             )
             + 1  # length += 1 on every move
         )
@@ -159,22 +159,32 @@ def _kernel(
         iy = jnp.where(is0, border_gap, jnp.where(isd, NEG, iy))
         s_cell = jnp.where(is0 | isd, d1, s_cell)
 
-        # capture each pair's final cell (m, n) when its diagonal arrives
-        hit = (fd_ref[:] == d1) & (alen_ref[:] == lane)
-        cap[:] += jnp.sum(jnp.where(hit, s_cell, 0), axis=1, keepdims=True)
+        # capture each pair's final cell (m, n) when its diagonal
+        # arrives; guard the full-width select+reduce behind a cheap
+        # [B,1] any() so most steps skip it
+        row_hit = fd_ref[:] == d1
 
-        qM[:], qIx[:], qIy[:], qS[:] = m_cell, ix, iy, s_cell
+        @pl.when(jnp.any(row_hit))
+        def _():
+            hit = row_hit & (alen_ref[:] == lane)
+            cap[:] += jnp.sum(
+                jnp.where(hit, s_cell, 0), axis=1, keepdims=True
+            )
 
-    set_a = (m_a, ix_a, iy_a, s_a)
-    set_b = (m_b, ix_b, iy_b, s_b)
+        return m_cell, ix, iy, s_cell
 
-    @pl.when(g % 2 == 0)
-    def _even():  # prev in set_b, prev2/destination in set_a
-        body(set_b, set_a)
-
-    @pl.when(g % 2 == 1)
-    def _odd():
-        body(set_a, set_b)
+    packed = sd_ref[...].astype(jnp.int32)  # [2, B, Mp1]
+    d_odd = 2 * g + 1
+    prev_b = (m_b[:], ix_b[:], iy_b[:], s_b[:])
+    prev_a = (m_a[:], ix_a[:], iy_a[:], s_a[:])
+    new_odd = cell(
+        d_odd, packed[0] >> 1, packed[0] & 1, prev_b, prev_a
+    )
+    new_even = cell(
+        d_odd + 1, packed[1] >> 1, packed[1] & 1, new_odd, prev_b
+    )
+    m_a[:], ix_a[:], iy_a[:], s_a[:] = new_odd
+    m_b[:], ix_b[:], iy_b[:], s_b[:] = new_even
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _emit():
@@ -214,6 +224,12 @@ def nw_similarity_batch_pallas(
     sd = _pack_score_diagonals(
         a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
     )
+    if d_total % 2:
+        # two-diagonal steps need even D; one extra zero diagonal beyond
+        # the grid is computed harmlessly (no pair's final cell lives
+        # there, so captures are unaffected)
+        sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
+        d_total += 1
     alen = a_len.astype(jnp.int32).reshape(bsz, 1)
     fd = (a_len + b_len).astype(jnp.int32).reshape(bsz, 1)
 
@@ -223,10 +239,10 @@ def nw_similarity_batch_pallas(
     state = lambda: pltpu.VMEM((bsz, mp1), jnp.int32)  # noqa: E731
     out = pl.pallas_call(
         kernel,
-        grid=(d_total,),
+        grid=(d_total // 2,),
         in_specs=[
             pl.BlockSpec(
-                (1, bsz, mp1), lambda g: (g, 0, 0),
+                (2, bsz, mp1), lambda g: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((bsz, 1), lambda g: (0, 0),
