@@ -22,9 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import blosum
-from .encode import encode
+from .encode import bucket_by_length, encode
 from .ops import nw_batch, pick_nw_backend, tpu_available
 from .ops.minhash import minhash_signatures, signature_similarity
+
+# bucket edges one below a lane multiple so (padded_len + 1) % 128 == 0
+# and the Pallas kernel stays eligible for every bucket-pair shape
+PALLAS_BUCKET_EDGES = (127, 255, 383, 511, 639, 767, 1023, 1535, 2047)
 
 
 def labels_1n(n: int) -> list[str]:
@@ -63,27 +67,31 @@ def similarity_mh(
 
 
 @functools.lru_cache(maxsize=64)
-def _nw_tile_fn(tile: int, backend: str, gap_open: int, gap_ext: int):
-    """Jitted [tile x tile] NW pair-block kernel, cached per config so
-    repeated similarity_nw calls reuse the traced+compiled executable."""
+def _nw_tile_fn(
+    tile_i: int, tile_j: int, backend: str, gap_open: int, gap_ext: int
+):
+    """Jitted [tile_i x tile_j] NW pair-block kernel, cached per config so
+    repeated similarity_nw calls reuse the traced+compiled executable.
+    Row ids index the first encoded set, col ids the second (the two sets
+    coincide for the square all-pairs driver)."""
 
     @jax.jit
-    def tile_fn(seq_idx, lengths, sub, rows, cols):
-        a = jnp.take(seq_idx, rows, axis=0)
-        la = jnp.take(lengths, rows)
-        b = jnp.take(seq_idx, cols, axis=0)
-        lb = jnp.take(lengths, cols)
-        a = jnp.repeat(a, tile, axis=0)
-        la = jnp.repeat(la, tile)
-        b = jnp.tile(b, (tile, 1))
-        lb = jnp.tile(lb, (tile,))
+    def tile_fn(seq_a, len_a, seq_b, len_b, sub, rows, cols):
+        a = jnp.take(seq_a, rows, axis=0)
+        la = jnp.take(len_a, rows)
+        b = jnp.take(seq_b, cols, axis=0)
+        lb = jnp.take(len_b, cols)
+        a = jnp.repeat(a, tile_j, axis=0)
+        la = jnp.repeat(la, tile_j)
+        b = jnp.tile(b, (tile_i, 1))
+        lb = jnp.tile(lb, (tile_i,))
         res = nw_batch(
             a, la, b, lb, sub,
             gap_open=gap_open, gap_ext=gap_ext, backend=backend,
         )
         return (
-            res.matches.reshape(tile, tile),
-            res.length.reshape(tile, tile),
+            res.matches.reshape(tile_i, tile_j),
+            res.length.reshape(tile_i, tile_j),
         )
 
     return tile_fn
@@ -98,6 +106,101 @@ def _pick_tile(n: int, max_len: int) -> int:
     while t * t * 4 <= b:
         t *= 2
     return min(t, max(1, n))
+
+
+@functools.lru_cache(maxsize=64)
+def _nw_pairlist_fn(backend: str, gap_open: int, gap_ext: int):
+    """Jitted explicit-pair-list NW kernel over two encoded sets,
+    cached per config (and per shape via jit)."""
+
+    @jax.jit
+    def fn(seq_a, len_a, seq_b, len_b, sub, rows, cols):
+        res = nw_batch(
+            jnp.take(seq_a, rows, axis=0),
+            jnp.take(len_a, rows),
+            jnp.take(seq_b, cols, axis=0),
+            jnp.take(len_b, cols),
+            sub,
+            gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+        )
+        return res.matches, res.length
+
+    return fn
+
+
+def similarity_nw_bucketed(
+    sequences: Sequence[str],
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    *,
+    bucket_edges: Sequence[int] = PALLAS_BUCKET_EDGES,
+    batch: int = 256,
+) -> np.ndarray:
+    """Length-bucketed exact NW all-pairs (SURVEY.md §7 hard part 7).
+
+    Sequences are grouped into padded length buckets and every pair is
+    computed at its bucket-pair's (smaller) padded shape, so mixed
+    workloads (12-mer probes + ~566 aa proteins) don't pay worst-case
+    padding on every pair.  Bit-identical to :func:`similarity_nw`: each
+    pair keeps the reference's orientation (the smaller global index is
+    sequence1 — tie-breaking is not symmetric under swapping, so this
+    matters, src/pairwiseSeqAlign.cpp:340-343).
+    """
+    seqs = list(sequences)
+    n = len(seqs)
+    if n == 0:
+        raise ValueError("Input sequences vector cannot be empty")
+    sub = jnp.asarray(blosum.get_matrix(matrix_name))
+    buckets = bucket_by_length(seqs, bucket_edges=bucket_edges)
+    which = np.zeros(n, dtype=np.int64)  # global index -> bucket id
+    local = np.zeros(n, dtype=np.int64)  # global index -> index in bucket
+    devs = []
+    for b, (pos, enc_b) in enumerate(buckets):
+        which[pos] = b
+        local[pos] = np.arange(len(pos))
+        devs.append((
+            jnp.asarray(enc_b.indices), jnp.asarray(enc_b.lengths)
+        ))
+
+    # group ordered pairs (i < j) by their (bucket_i, bucket_j) shape
+    iu = np.triu_indices(n)  # includes the diagonal, like the reference
+    groups: dict[tuple[int, int], list[int]] = {}
+    for p, (gi, gj) in enumerate(zip(iu[0], iu[1])):
+        groups.setdefault((which[gi], which[gj]), []).append(p)
+
+    matches = np.zeros((n, n), dtype=np.int64)
+    length = np.zeros((n, n), dtype=np.int64)
+    for (ba, bb), plist in groups.items():
+        gi = iu[0][plist]
+        gj = iu[1][plist]
+        rows = local[gi].astype(np.int32)
+        cols = local[gj].astype(np.int32)
+        npairs = len(rows)
+        pad = -(-npairs // batch) * batch
+        rows = np.pad(rows, (0, pad - npairs))
+        cols = np.pad(cols, (0, pad - npairs))
+        backend = pick_nw_backend(
+            buckets[ba][1].max_len, buckets[bb][1].max_len
+        )
+        fn = _nw_pairlist_fn(backend, gap_open, gap_ext)
+        seq_a, len_a = devs[ba]
+        seq_b, len_b = devs[bb]
+        pend = []
+        for s in range(0, pad, batch):
+            pend.append(fn(
+                seq_a, len_a, seq_b, len_b, sub,
+                jnp.asarray(rows[s : s + batch]),
+                jnp.asarray(cols[s : s + batch]),
+            ))
+        mt = np.asarray(jnp.concatenate([p[0] for p in pend]))[:npairs]
+        ln = np.asarray(jnp.concatenate([p[1] for p in pend]))[:npairs]
+        matches[gi, gj] = mt
+        length[gi, gj] = ln
+        matches[gj, gi] = mt
+        length[gj, gi] = ln
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return matches.astype(np.float64) / length
 
 
 def similarity_nw(
@@ -139,7 +242,7 @@ def similarity_nw(
     pad_n = nb * t
     seq_idx = jnp.asarray(enc.indices)
     lengths = jnp.asarray(enc.lengths)
-    tile_fn = _nw_tile_fn(t, backend, gap_open, gap_ext)
+    tile_fn = _nw_tile_fn(t, t, backend, gap_open, gap_ext)
 
     matches = np.zeros((pad_n, pad_n), dtype=np.int64)
     length = np.zeros((pad_n, pad_n), dtype=np.int64)
@@ -154,7 +257,10 @@ def similarity_nw(
     pend_mt: list = []
     pend_ln: list = []
     for k, (bi, bj) in enumerate(coords):
-        mt, ln = tile_fn(seq_idx, lengths, sub, row_dev[bi], row_dev[bj])
+        mt, ln = tile_fn(
+            seq_idx, lengths, seq_idx, lengths, sub,
+            row_dev[bi], row_dev[bj],
+        )
         pend_mt.append(mt)
         pend_ln.append(ln)
         if progress and (k + 1) % 50 == 0:
