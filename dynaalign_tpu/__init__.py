@@ -20,7 +20,11 @@ from .encode import EncodedSeqs, encode as encode_sequences  # noqa: F401
 
 __version__ = "0.1.0"
 
-from .api import similarity_mh, similarity_nw  # noqa: F401,E402
+from .api import (  # noqa: F401,E402
+    similarity_mh,
+    similarity_nw,
+    similarity_nw_bucketed,
+)
 from .cluster import (  # noqa: F401,E402
     ClusterBreakResult,
     clusterbreak,

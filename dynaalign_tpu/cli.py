@@ -46,10 +46,14 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gap-open", type=int, default=10)
     p.add_argument("--gap-ext", type=int, default=4)
     p.add_argument("--prefilter-quantile", type=float, default=0.8)
+    p.add_argument(
+        "--bucketed", action="store_true",
+        help="length-bucketed NW (mixed-length workloads)",
+    )
 
 
 def _similarity(seqs: list[str], args) -> np.ndarray:
-    from .api import similarity_mh, similarity_nw
+    from .api import similarity_mh, similarity_nw, similarity_nw_bucketed
     from .models import similarity_hybrid
 
     if args.engine == "mh":
@@ -57,9 +61,12 @@ def _similarity(seqs: list[str], args) -> np.ndarray:
             seqs, k=args.k, n_hash=args.n_hash, seed=args.seed
         )
     if args.engine == "nw":
-        return similarity_nw(
-            seqs, args.matrix, args.gap_open, args.gap_ext
+        fn = (
+            similarity_nw_bucketed
+            if getattr(args, "bucketed", False)
+            else similarity_nw
         )
+        return fn(seqs, args.matrix, args.gap_open, args.gap_ext)
     return similarity_hybrid(
         seqs, k=args.k, n_hash=args.n_hash, seed=args.seed,
         prefilter_quantile=args.prefilter_quantile,

@@ -108,9 +108,17 @@ def _one_level(
             sum_tot[cv] -= kv
             # gain of joining community C: w(v,C) - γ k_v Σtot_C / 2m
             gains = w_to - gamma * kv * sum_tot[uniq] / two_m
-            # gain of staying alone: 0 (w to own singleton = 0)
+            # gain of staying put (w(v, cv\{v}) may be 0 if no neighbors
+            # remain there); a singleton restart scores exactly 0
+            in_uniq = np.nonzero(uniq == cv)[0]
+            stay = (
+                float(gains[in_uniq[0]])
+                if len(in_uniq)
+                else -gamma * kv * sum_tot[cv] / two_m
+            )
+            stay = max(stay, 0.0)  # moving to an empty community gains 0
             best = int(np.argmax(gains))
-            if gains[best] > 1e-12 and uniq[best] != cv:
+            if gains[best] > stay + 1e-12 and uniq[best] != cv:
                 comm[v] = uniq[best]
                 sum_tot[uniq[best]] += kv
                 improved_any = True
