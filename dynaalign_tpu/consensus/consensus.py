@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..encode import ALPHABET
 from .msa import progressive_msa
 
 _AMBIGUITY = {

@@ -28,7 +28,7 @@ from ..cluster import ClusterBreakResult, clusterbreak
 from ..config import PipelineConfig
 from ..consensus import cluster_consensus
 from ..encode import encode
-from ..ops import nw_batch, pick_nw_backend, tpu_available
+from ..ops import nw_batch, tpu_available
 
 
 def nw_rescore_pairs(

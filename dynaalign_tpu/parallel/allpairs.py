@@ -31,7 +31,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import nw_batch, pick_nw_backend, tpu_available
+from ..ops import nw_batch, pick_nw_backend
 from .mesh import COLS, ROWS, make_mesh
 
 __all__ = [
