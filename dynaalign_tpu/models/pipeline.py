@@ -162,6 +162,13 @@ class Pipeline:
                 sequences, cfg.nw.matrix_name, cfg.nw.gap_open,
                 cfg.nw.gap_ext,
             )
+        if cfg.similarity == "nw_bucketed":
+            from ..api import similarity_nw_bucketed
+
+            return similarity_nw_bucketed(
+                sequences, cfg.nw.matrix_name, cfg.nw.gap_open,
+                cfg.nw.gap_ext,
+            )
         if cfg.similarity == "hybrid":
             return similarity_hybrid(
                 sequences, k=cfg.minhash.k, n_hash=cfg.minhash.n_hash,
