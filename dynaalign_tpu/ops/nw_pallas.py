@@ -23,9 +23,15 @@ bit-exact percent identity), engineered for the chip:
   plane as (mt << 13) | ln — one select chain instead of two and 20%
   less VMEM traffic.  Valid while m + n < 8192.
 
-* **Two-buffer parity rotation.**  prev/prev2 roles alternate between
-  two fixed scratch sets by diagonal parity (pl.when), so no buffer
-  copies and no dynamic scratch indexing.
+* **Two-buffer parity rotation, asymmetric state.**  prev/prev2 roles
+  alternate between two fixed scratch sets (no buffer copies, no dynamic
+  scratch indexing).  The d-2 ancestor is only ever consumed as
+  ``max(M, Ix, Iy)[i-1][j-1]`` and ``S[i-1][j-1]`` (the reference
+  overwrites M with that max in place, src/pairwiseSeqAlign.cpp:268-279,
+  so interior best == stored M; at borders the max folds the border gap
+  in), so the odd-diagonal set stores just (best, S) — 6 state planes
+  instead of 8, and one lane-roll for the diagonal ancestor instead of
+  three.
 
 Shapes: lanes = Mp1 (DP row index; pad M so Mp1 is a multiple of 128 for
 full-lane tiles), sublanes = B (pair batch).  The per-pair result is
@@ -90,8 +96,9 @@ def _kernel(
     alen_ref,  # int32 [B, 1]
     fd_ref,  # int32 [B, 1] — final diagonal (m + n) per pair
     out_ref,  # int32 [B, 1] — packed (matches << 13 | length)
-    # scratch: odd-diagonal set (a), even-diagonal set (b), capture accum
-    m_a, ix_a, iy_a, s_a,
+    # scratch: odd set (a) keeps only (best, S); even set (b) keeps the
+    # full (M, Ix, Iy, S); capture accumulator
+    best_a, s_a,
     m_b, ix_b, iy_b, s_b,
     cap,
     *,
@@ -119,9 +126,7 @@ def _kernel(
         iy_b[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         s_b[:] = jnp.zeros((bsz, mp1), jnp.int32)
         # odd set (= diagonal -1): never a real ancestor; sentinels
-        m_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
-        ix_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
-        iy_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
+        best_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
         s_a[:] = jnp.zeros((bsz, mp1), jnp.int32)
         cap[:] = jnp.zeros((bsz, 1), jnp.int32)
 
@@ -129,15 +134,20 @@ def _kernel(
         return pltpu.roll(x, 1, 1)
 
     def cell(d1, score, match, prev, prev2):
-        """One diagonal's update from in-register (M, Ix, Iy, S) tuples."""
+        """One diagonal's update.
+
+        prev = (M, Ix, Iy, S) of diagonal d1-1; prev2 = (best, S) of
+        d1-2, where best = max(M, Ix, Iy) — exactly the value the
+        reference leaves in M at interior cells (the in-place overwrite
+        at src/pairwiseSeqAlign.cpp:268-279) and the max the interior
+        recurrence reads across the borders.
+        """
         pM, pIx, pIy, pS = prev
-        qM, qIx, qIy, qS = prev2
+        qBest, qS = prev2
 
         ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
         iy = jnp.maximum(pM - (go + ge), pIy - ge)
-        mnew = jnp.maximum(
-            sh(qM), jnp.maximum(sh(qIx), sh(qIy))
-        ) + score
+        mnew = sh(qBest) + score
 
         d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
         u_sel = (~d_sel) & (ix >= iy)
@@ -158,6 +168,10 @@ def _kernel(
         ix = jnp.where(isd, border_gap, jnp.where(is0, NEG, ix))
         iy = jnp.where(is0, border_gap, jnp.where(isd, NEG, iy))
         s_cell = jnp.where(is0 | isd, d1, s_cell)
+        # interior: m_cell is already max(mnew, ix, iy); at borders the
+        # two extra maxes fold border_gap in — this is all diagonal d1's
+        # successors two steps ahead ever read
+        best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
 
         # capture each pair's final cell (m, n) when its diagonal
         # arrives; guard the full-width select+reduce behind a cheap
@@ -171,20 +185,24 @@ def _kernel(
                 jnp.where(hit, s_cell, 0), axis=1, keepdims=True
             )
 
-        return m_cell, ix, iy, s_cell
+        return m_cell, ix, iy, s_cell, best
 
     packed = sd_ref[...].astype(jnp.int32)  # [2, B, Mp1]
     d_odd = 2 * g + 1
-    prev_b = (m_b[:], ix_b[:], iy_b[:], s_b[:])
-    prev_a = (m_a[:], ix_a[:], iy_a[:], s_a[:])
+    bm, bix, biy, bs = m_b[:], ix_b[:], iy_b[:], s_b[:]
     new_odd = cell(
-        d_odd, packed[0] >> 1, packed[0] & 1, prev_b, prev_a
+        d_odd, packed[0] >> 1, packed[0] & 1,
+        (bm, bix, biy, bs), (best_a[:], s_a[:]),
     )
+    # the even diagonal's d-2 ancestor is set_b; its best is two maxes
+    # over values already in registers (never stored)
+    best_b = jnp.maximum(bm, jnp.maximum(bix, biy))
     new_even = cell(
-        d_odd + 1, packed[1] >> 1, packed[1] & 1, new_odd, prev_b
+        d_odd + 1, packed[1] >> 1, packed[1] & 1,
+        new_odd[:4], (best_b, bs),
     )
-    m_a[:], ix_a[:], iy_a[:], s_a[:] = new_odd
-    m_b[:], ix_b[:], iy_b[:], s_b[:] = new_even
+    best_a[:], s_a[:] = new_odd[4], new_odd[3]
+    m_b[:], ix_b[:], iy_b[:], s_b[:] = new_even[:4]
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _emit():
@@ -253,7 +271,7 @@ def nw_similarity_batch_pallas(
         out_specs=pl.BlockSpec((bsz, 1), lambda g: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-        scratch_shapes=[state() for _ in range(8)]
+        scratch_shapes=[state() for _ in range(6)]
         + [pltpu.VMEM((bsz, 1), jnp.int32)],
         interpret=interpret,
     )(sd, alen, fd)
