@@ -28,7 +28,17 @@ from .ops.minhash import minhash_signatures, signature_similarity
 
 # bucket edges one below a lane multiple so (padded_len + 1) % 128 == 0
 # and the Pallas kernel stays eligible for every bucket-pair shape
-PALLAS_BUCKET_EDGES = (127, 255, 383, 511, 639, 767, 1023, 1535, 2047)
+PALLAS_BUCKET_EDGES = (
+    15, 31, 63, 127, 255, 383, 511, 639, 767, 1023, 1535, 2047
+)
+# VMEM budget: 7 int32 state planes (plus Mosaic temporaries) must fit
+# scoped VMEM, so keep (DP rows + 1) * pair-batch under ~128k cells
+_SHORT_CELL_BUDGET = 131072
+
+
+def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:
+    """Largest 128-multiple pair batch within the short-kernel VMEM budget."""
+    return int(np.clip(_SHORT_CELL_BUDGET // mp1 // 128 * 128, lo, hi))
 
 
 def labels_1n(n: int) -> list[str]:
@@ -177,21 +187,25 @@ def similarity_nw_bucketed(
         rows = local[gi].astype(np.int32)
         cols = local[gj].astype(np.int32)
         npairs = len(rows)
-        pad = -(-npairs // batch) * batch
+        m_a = buckets[ba][1].max_len
+        backend = pick_nw_backend(m_a, buckets[bb][1].max_len)
+        # short-kernel groups take much larger pair batches (pairs ride
+        # the lane axis, so VMEM scales with rows+1, not 128 lanes)
+        grp_batch = (
+            _short_batch(m_a + 1) if backend == "pallas_short" else batch
+        )
+        pad = -(-npairs // grp_batch) * grp_batch
         rows = np.pad(rows, (0, pad - npairs))
         cols = np.pad(cols, (0, pad - npairs))
-        backend = pick_nw_backend(
-            buckets[ba][1].max_len, buckets[bb][1].max_len
-        )
         fn = _nw_pairlist_fn(backend, gap_open, gap_ext)
         seq_a, len_a = devs[ba]
         seq_b, len_b = devs[bb]
         pend = []
-        for s in range(0, pad, batch):
+        for s in range(0, pad, grp_batch):
             pend.append(fn(
                 seq_a, len_a, seq_b, len_b, sub,
-                jnp.asarray(rows[s : s + batch]),
-                jnp.asarray(cols[s : s + batch]),
+                jnp.asarray(rows[s : s + grp_batch]),
+                jnp.asarray(cols[s : s + grp_batch]),
             ))
         mt = np.asarray(jnp.concatenate([p[0] for p in pend]))[:npairs]
         ln = np.asarray(jnp.concatenate([p[1] for p in pend]))[:npairs]
@@ -226,9 +240,18 @@ def similarity_nw(
         raise ValueError("Input sequences vector cannot be empty")
     sub = jnp.asarray(blosum.get_matrix(matrix_name))
     max_len = max(len(s) for s in sequences)
-    # Pallas fast path wants lane-aligned DP rows: (padded_len + 1) % 128
-    use_pallas = tpu_available() and 48 <= max_len <= 4000
-    if use_pallas:
+    if tpu_available() and max_len <= 127:
+        # short fast path: pairs on the lane axis, sublane-aligned rows
+        pad_to = -(-(max_len + 1) // 8) * 8 - 1
+        enc = encode(sequences, pad_to=pad_to)
+        # t^2 pairs per call within the short kernel's VMEM cell budget
+        t = tile or max(
+            16,
+            min(64, int(np.sqrt(_short_batch(pad_to + 1))) // 16 * 16),
+        )
+        backend = "pallas_short"
+    elif tpu_available() and max_len <= 4000:
+        # long fast path wants lane-aligned DP rows: (padded_len+1) % 128
         pad_to = -(-(max_len + 1) // 128) * 128 - 1
         enc = encode(sequences, pad_to=pad_to)
         t = tile or 16  # 256 pairs/call fills the kernel's VMEM budget

@@ -4,7 +4,10 @@ from .minhash import (  # noqa: F401
     signature_similarity,
 )
 from .nw import nw_similarity_batch  # noqa: F401
-from .nw_pallas import nw_similarity_batch_pallas  # noqa: F401
+from .nw_pallas import (  # noqa: F401
+    nw_similarity_batch_pallas,
+    nw_similarity_batch_pallas_short,
+)
 
 
 def tpu_available() -> bool:
@@ -19,24 +22,28 @@ def tpu_available() -> bool:
 
 
 def pick_nw_backend(
-    m: int, n: int, backend: str = "auto"
+    m: int, n: int, backend: str = "auto", bsz: int | None = None
 ) -> str:
     """Choose the NW kernel implementation for padded lengths (m, n).
 
-    "pallas" requires a TPU backend, m+n under the packed-length budget,
-    and lane-aligned m (the drivers pad so (m+1) % 128 == 0).  Everything
-    else (CPU tests, very long sequences, tiny workloads) takes the XLA
-    scan path, which is bit-identical.
+    "pallas_short" (pairs on the lane axis) wins for peptide-scale DP
+    grids: it wants (m+1) % 8 == 0 sublane alignment and a batch that is
+    a multiple of 128 lanes.  "pallas" (pairs on sublanes) wants
+    lane-aligned rows, (m+1) % 128 == 0.  Everything else (CPU tests,
+    very long sequences) takes the XLA scan path, which is
+    bit-identical.
     """
     if backend != "auto":
         return backend
-    if (
-        tpu_available()
-        and m + n < (1 << 13)
-        and (m + 1) % 128 == 0
-        and (n + 1) % 128 == 0
-    ):
-        return "pallas"
+    if tpu_available() and m + n < (1 << 13):
+        if (
+            m <= 127
+            and (m + 1) % 8 == 0
+            and (bsz is None or bsz % 128 == 0)
+        ):
+            return "pallas_short"
+        if (m + 1) % 128 == 0 and (n + 1) % 128 == 0:
+            return "pallas"
     return "scan"
 
 
@@ -46,7 +53,14 @@ def nw_batch(
     backend: str = "auto", interpret: bool = False,
 ):
     """Backend-dispatched batched NW (matches, length)."""
-    chosen = pick_nw_backend(a_idx.shape[1], b_idx.shape[1], backend)
+    chosen = pick_nw_backend(
+        a_idx.shape[1], b_idx.shape[1], backend, bsz=a_idx.shape[0]
+    )
+    if chosen == "pallas_short":
+        return nw_similarity_batch_pallas_short(
+            a_idx, a_len, b_idx, b_len, sub,
+            gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+        )
     if chosen == "pallas":
         return nw_similarity_batch_pallas(
             a_idx, a_len, b_idx, b_len, sub,

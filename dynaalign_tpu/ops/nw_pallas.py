@@ -104,34 +104,40 @@ def _kernel(
     *,
     go: int,
     ge: int,
-    bsz: int,
-    mp1: int,
+    shape: tuple,
+    daxis: int,
 ):
-    """Two anti-diagonals per grid step.
+    """Two anti-diagonals per grid step; DP-row axis parametric.
 
     With a pair of diagonals per step the parity mapping is fixed —
     set_b always holds the latest even diagonal, set_a the latest odd —
     so the body is straight-line (no parity branches), scratch reads
     halve, and per-step grid overhead halves.  D_total must be even
     (square padded shapes give D = 2*Mpad).
+
+    ``daxis`` is the DP-row axis of the state planes: 1 for the long
+    layout [B, Mp1] (pairs on sublanes — right when Mp1 fills the 128
+    lanes), 0 for the short layout [Mp1, B] (pairs on lanes — right for
+    peptide-scale DP grids, where Mp1 would waste >80% of each vreg).
     """
     g = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bsz, mp1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
+    cap_shape = (shape[0], 1) if daxis == 1 else (1, shape[1])
 
     @pl.when(g == 0)
     def _init():
         # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
         m_b[:] = jnp.where(lane == 0, 0, NEG)
-        ix_b[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
-        iy_b[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
-        s_b[:] = jnp.zeros((bsz, mp1), jnp.int32)
+        ix_b[:] = jnp.full(shape, NEG, jnp.int32)
+        iy_b[:] = jnp.full(shape, NEG, jnp.int32)
+        s_b[:] = jnp.zeros(shape, jnp.int32)
         # odd set (= diagonal -1): never a real ancestor; sentinels
-        best_a[:] = jnp.full((bsz, mp1), NEG, jnp.int32)
-        s_a[:] = jnp.zeros((bsz, mp1), jnp.int32)
-        cap[:] = jnp.zeros((bsz, 1), jnp.int32)
+        best_a[:] = jnp.full(shape, NEG, jnp.int32)
+        s_a[:] = jnp.zeros(shape, jnp.int32)
+        cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
-    def sh(x):  # shifted[i] = x[i-1] (lane 0 cyclic garbage, masked later)
-        return pltpu.roll(x, 1, 1)
+    def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
+        return pltpu.roll(x, 1, daxis)
 
     def cell(d1, score, match, prev, prev2):
         """One diagonal's update.
@@ -182,7 +188,7 @@ def _kernel(
         def _():
             hit = row_hit & (alen_ref[:] == lane)
             cap[:] += jnp.sum(
-                jnp.where(hit, s_cell, 0), axis=1, keepdims=True
+                jnp.where(hit, s_cell, 0), axis=daxis, keepdims=True
             )
 
         return m_cell, ix, iy, s_cell, best
@@ -251,31 +257,99 @@ def nw_similarity_batch_pallas(
     alen = a_len.astype(jnp.int32).reshape(bsz, 1)
     fd = (a_len + b_len).astype(jnp.int32).reshape(bsz, 1)
 
-    kernel = functools.partial(
-        _kernel, go=gap_open, ge=gap_ext, bsz=bsz, mp1=mp1
+    out = _run_kernel(
+        sd, alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
+        interpret,
     )
-    state = lambda: pltpu.VMEM((bsz, mp1), jnp.int32)  # noqa: E731
-    out = pl.pallas_call(
+    packed = out[:, 0]
+    return NWResult(
+        matches=packed >> _LN_BITS, length=packed & _LN_MASK
+    )
+
+
+def _run_kernel(
+    sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret
+):
+    """Launch the wavefront kernel for either state layout.
+
+    shape = state-plane shape; daxis = DP-row axis; alen/fd/out carry a
+    trailing (long) or leading (short) singleton over the pair axis.
+    """
+    kernel = functools.partial(
+        _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis
+    )
+    vshape = (shape[0], 1) if daxis == 1 else (1, shape[1])
+    state = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
+    vec = lambda: pl.BlockSpec(  # noqa: E731
+        vshape, lambda g: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
         kernel,
         grid=(d_total // 2,),
         in_specs=[
             pl.BlockSpec(
-                (2, bsz, mp1), lambda g: (g, 0, 0),
+                (2,) + shape, lambda g: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((bsz, 1), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, 1), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec(),
+            vec(),
         ],
-        out_specs=pl.BlockSpec((bsz, 1), lambda g: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+        out_specs=vec(),
+        out_shape=jax.ShapeDtypeStruct(vshape, jnp.int32),
         scratch_shapes=[state() for _ in range(6)]
-        + [pltpu.VMEM((bsz, 1), jnp.int32)],
+        + [pltpu.VMEM(vshape, jnp.int32)],
         interpret=interpret,
     )(sd, alen, fd)
-    packed = out[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_open", "gap_ext", "interpret"),
+)
+def nw_similarity_batch_pallas_short(
+    a_idx: jnp.ndarray,  # int32 [B, M]
+    a_len: jnp.ndarray,  # int32 [B]
+    b_idx: jnp.ndarray,  # int32 [B, N]
+    b_len: jnp.ndarray,  # int32 [B]
+    sub: jnp.ndarray,  # int32 [32, 32]
+    *,
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    interpret: bool = False,
+) -> NWResult:
+    """Short-sequence fast path: pairs ride the 128-lane axis.
+
+    For peptide-scale grids (M+1 ≤ ~128) the long layout leaves most of
+    every vreg idle; transposing the state planes to [Mp1, B] makes each
+    diagonal update a full-width VPU op over thousands of pairs.  Wants
+    (M+1) % 8 == 0 (sublane tile) and B % 128 == 0 (lane tile).
+    Bit-identical to the scan backend (tests/test_nw_pallas.py).
+    """
+    bsz, m = a_idx.shape
+    n = b_idx.shape[1]
+    if m + n >= (1 << _LN_BITS):
+        raise ValueError(
+            f"padded m+n = {m + n} exceeds packed-length budget "
+            f"{(1 << _LN_BITS) - 1}; use ops.nw.nw_similarity_batch"
+        )
+    mp1 = m + 1
+    d_total = m + n
+
+    sd = _pack_score_diagonals(
+        a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
+    )
+    sd = jnp.transpose(sd, (0, 2, 1))  # [D, Mp1, B]
+    if d_total % 2:
+        sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
+        d_total += 1
+    alen = a_len.astype(jnp.int32).reshape(1, bsz)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(1, bsz)
+
+    out = _run_kernel(
+        sd, alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
+        interpret,
+    )
+    packed = out[0, :]
     return NWResult(
         matches=packed >> _LN_BITS, length=packed & _LN_MASK
     )

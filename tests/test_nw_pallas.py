@@ -6,16 +6,19 @@ import pytest
 
 from dynaalign_tpu import blosum, encode, oracle
 from dynaalign_tpu.ops import pick_nw_backend
-from dynaalign_tpu.ops.nw_pallas import nw_similarity_batch_pallas
+from dynaalign_tpu.ops.nw_pallas import (
+    nw_similarity_batch_pallas,
+    nw_similarity_batch_pallas_short,
+)
 
 
-def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None):
+def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None, kernel=None):
     a_seqs = [p[0] for p in pairs]
     b_seqs = [p[1] for p in pairs]
     ea = encode.encode(a_seqs, pad_to=pad_to)
     eb = encode.encode(b_seqs, pad_to=pad_to)
     sub = jnp.asarray(blosum.get_matrix(matrix))
-    res = nw_similarity_batch_pallas(
+    res = (kernel or nw_similarity_batch_pallas)(
         jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
         jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
         sub, gap_open=go, gap_ext=ge, interpret=True,
@@ -69,3 +72,42 @@ def test_backend_dispatch():
     assert pick_nw_backend(127, 127, "auto") == "scan"
     assert pick_nw_backend(127, 127, "pallas") == "pallas"
     assert pick_nw_backend(639, 639, "scan") == "scan"
+    assert pick_nw_backend(15, 15, "pallas_short") == "pallas_short"
+
+
+def test_pallas_short_bit_exact_random(make_seqs):
+    # peptide-scale pairs on the transposed (pairs-on-lanes) layout
+    seqs = make_seqs(64, 1, 15, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:32], seqs[32:]))
+    np.testing.assert_array_equal(
+        _run(pairs, pad_to=15, kernel=nw_similarity_batch_pallas_short),
+        _oracle(pairs),
+    )
+
+
+@pytest.mark.parametrize("gaps", [(5, 1), (12, 2)])
+def test_pallas_short_gap_variants(gaps, make_seqs):
+    go, ge = gaps
+    seqs = make_seqs(16, 3, 30)
+    pairs = list(zip(seqs[:8], seqs[8:]))
+    np.testing.assert_array_equal(
+        _run(pairs, go=go, ge=ge, pad_to=31,
+             kernel=nw_similarity_batch_pallas_short),
+        _oracle(pairs, go=go, ge=ge),
+    )
+
+
+def test_pallas_short_asymmetric_buckets(make_seqs):
+    # cross-bucket group shapes: short a-side against a longer b-side
+    a = make_seqs(6, 2, 15)
+    b = make_seqs(6, 40, 60)
+    pairs = list(zip(a, b))
+    ea = encode.encode(a, pad_to=15)
+    eb = encode.encode(b, pad_to=63)
+    sub = jnp.asarray(blosum.get_matrix())
+    res = nw_similarity_batch_pallas_short(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub, interpret=True,
+    )
+    np.testing.assert_array_equal(res.similarity(), _oracle(pairs))
