@@ -50,7 +50,7 @@ def main():
 
     sims = run()  # compile + first run
     tpu_time = float("inf")
-    for _ in range(2):  # best-of-2 to damp relay/dispatch jitter
+    for _ in range(4):  # best-of-4 to damp relay/dispatch jitter
         t0 = time.perf_counter()
         sims = run()
         tpu_time = min(tpu_time, time.perf_counter() - t0)

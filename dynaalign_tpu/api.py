@@ -23,7 +23,12 @@ import numpy as np
 
 from . import blosum
 from .encode import bucket_by_length, encode
-from .ops import nw_batch, pick_nw_backend, tpu_available
+from .ops import (
+    nw_batch,
+    nw_batch_tiled,
+    pick_nw_backend,
+    tpu_available,
+)
 from .ops.minhash import minhash_signatures, signature_similarity
 
 # bucket edges one below a lane multiple so (padded_len + 1) % 128 == 0
@@ -39,6 +44,30 @@ _SHORT_CELL_BUDGET = 131072
 def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:
     """Largest 128-multiple pair batch within the short-kernel VMEM budget."""
     return int(np.clip(_SHORT_CELL_BUDGET // mp1 // 128 * 128, lo, hi))
+
+
+# HBM budget for one tiled kernel launch's packed score diagonals
+# ([T, D, B, Mp1] int8) — bounds how many pair tiles ride one dispatch
+_TILED_SD_BUDGET = 2 << 30
+
+
+def _tiles_per_launch(
+    m: int, n: int, bsz: int, n_tiles: int, backend: str = "pallas_short"
+) -> int:
+    """How many pair tiles to fold into one kernel launch.
+
+    Only the short layout stacks tiles: its per-tile kernel time is
+    microseconds, so dispatch dominates and folding the tile loop into
+    the Pallas grid wins.  Long-layout tiles run ~10 ms each on device —
+    async per-call dispatch already overlaps launch latency there, and
+    measured e2e is faster with one tile per launch (the stacked score
+    prepass serializes ahead of the kernel instead of pipelining
+    call-over-call).
+    """
+    if backend != "pallas_short":
+        return 1
+    per_tile = (m + n + 1) * bsz * (m + 1)  # int8 bytes
+    return int(np.clip(_TILED_SD_BUDGET // max(per_tile, 1), 1, n_tiles))
 
 
 def labels_1n(n: int) -> list[str]:
@@ -107,6 +136,35 @@ def _nw_tile_fn(
     return tile_fn
 
 
+@functools.lru_cache(maxsize=64)
+def _nw_tile_stack_fn(t: int, backend: str, gap_open: int, gap_ext: int):
+    """Jitted multi-tile NW sweep: a [Tc, t] x [Tc, t] stack of pair
+    blocks in ONE device dispatch (the tiled Pallas grid runs the blocks
+    back-to-back, so per-launch overhead is paid once per stack)."""
+
+    @jax.jit
+    def fn(seq, lens, sub, rows, cols):  # rows/cols int32 [Tc, t]
+        tc = rows.shape[0]
+        a = jnp.take(seq, rows.reshape(-1), axis=0).reshape(tc, t, -1)
+        la = jnp.take(lens, rows.reshape(-1)).reshape(tc, t)
+        b = jnp.take(seq, cols.reshape(-1), axis=0).reshape(tc, t, -1)
+        lb = jnp.take(lens, cols.reshape(-1)).reshape(tc, t)
+        res = nw_batch_tiled(
+            jnp.repeat(a, t, axis=1),
+            jnp.repeat(la, t, axis=1),
+            jnp.tile(b, (1, t, 1)),
+            jnp.tile(lb, (1, t)),
+            sub,
+            gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+        )
+        return (
+            res.matches.reshape(tc, t, t),
+            res.length.reshape(tc, t, t),
+        )
+
+    return fn
+
+
 def _pick_tile(n: int, max_len: int) -> int:
     """Tile edge so the batch (tile^2 pairs) keeps the VPU busy without
     blowing HBM on long sequences."""
@@ -130,6 +188,30 @@ def _nw_pairlist_fn(backend: str, gap_open: int, gap_ext: int):
             jnp.take(len_a, rows),
             jnp.take(seq_b, cols, axis=0),
             jnp.take(len_b, cols),
+            sub,
+            gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+        )
+        return res.matches, res.length
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _nw_pairlist_stack_fn(backend: str, gap_open: int, gap_ext: int):
+    """Jitted [Tc, B] pair-list stacks — Tc batches per device dispatch."""
+
+    @jax.jit
+    def fn(seq_a, len_a, seq_b, len_b, sub, rows, cols):  # [Tc, B]
+        tc, bsz = rows.shape
+        res = nw_batch_tiled(
+            jnp.take(seq_a, rows.reshape(-1), axis=0).reshape(
+                tc, bsz, -1
+            ),
+            jnp.take(len_a, rows.reshape(-1)).reshape(tc, bsz),
+            jnp.take(seq_b, cols.reshape(-1), axis=0).reshape(
+                tc, bsz, -1
+            ),
+            jnp.take(len_b, cols.reshape(-1)).reshape(tc, bsz),
             sub,
             gap_open=gap_open, gap_ext=gap_ext, backend=backend,
         )
@@ -194,21 +276,36 @@ def similarity_nw_bucketed(
         grp_batch = (
             _short_batch(m_a + 1) if backend == "pallas_short" else batch
         )
-        pad = -(-npairs // grp_batch) * grp_batch
-        rows = np.pad(rows, (0, pad - npairs))
-        cols = np.pad(cols, (0, pad - npairs))
-        fn = _nw_pairlist_fn(backend, gap_open, gap_ext)
+        n_tiles = -(-npairs // grp_batch)
+        tc = _tiles_per_launch(
+            m_a, buckets[bb][1].max_len, grp_batch, n_tiles, backend
+        )
+        n_tiles = -(-n_tiles // tc) * tc  # whole launches, one jit shape
+        pad = n_tiles * grp_batch
+        rows = np.pad(rows, (0, pad - npairs)).reshape(n_tiles, grp_batch)
+        cols = np.pad(cols, (0, pad - npairs)).reshape(n_tiles, grp_batch)
+        fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext)
         seq_a, len_a = devs[ba]
         seq_b, len_b = devs[bb]
+        # pre-stage index stacks on device (loop-interior transfers
+        # serialize against the compute queue under the TPU relay)
+        row_dev = [
+            jnp.asarray(rows[s : s + tc])
+            for s in range(0, n_tiles, tc)
+        ]
+        col_dev = [
+            jnp.asarray(cols[s : s + tc])
+            for s in range(0, n_tiles, tc)
+        ]
         pend = []
-        for s in range(0, pad, grp_batch):
-            pend.append(fn(
-                seq_a, len_a, seq_b, len_b, sub,
-                jnp.asarray(rows[s : s + grp_batch]),
-                jnp.asarray(cols[s : s + grp_batch]),
-            ))
-        mt = np.asarray(jnp.concatenate([p[0] for p in pend]))[:npairs]
-        ln = np.asarray(jnp.concatenate([p[1] for p in pend]))[:npairs]
+        for rs, cs in zip(row_dev, col_dev):
+            pend.append(fn(seq_a, len_a, seq_b, len_b, sub, rs, cs))
+        mt = np.asarray(
+            jnp.concatenate([p[0].reshape(-1) for p in pend])
+        )[:npairs]
+        ln = np.asarray(
+            jnp.concatenate([p[1].reshape(-1) for p in pend])
+        )[:npairs]
         matches[gi, gj] = mt
         length[gi, gj] = ln
         matches[gj, gi] = mt
@@ -265,7 +362,6 @@ def similarity_nw(
     pad_n = nb * t
     seq_idx = jnp.asarray(enc.indices)
     lengths = jnp.asarray(enc.lengths)
-    tile_fn = _nw_tile_fn(t, t, backend, gap_open, gap_ext)
 
     matches = np.zeros((pad_n, pad_n), dtype=np.int64)
     length = np.zeros((pad_n, pad_n), dtype=np.int64)
@@ -273,24 +369,37 @@ def similarity_nw(
         (bi, bj) for bi in range(nb) for bj in range(bi, nb)
     ]
     block_ids = np.arange(pad_n, dtype=np.int32).reshape(nb, t) % n
-    # pre-stage every tile's index vectors on device before the dispatch
-    # loop: per-call device-side slicing or host conversion costs ~15 ms
-    # each under the TPU relay, dwarfing the 14.6 ms kernel itself
-    row_dev = [jnp.asarray(block_ids[b]) for b in range(nb)]
-    pend_mt: list = []
-    pend_ln: list = []
-    for k, (bi, bj) in enumerate(coords):
-        mt, ln = tile_fn(
-            seq_idx, lengths, seq_idx, lengths, sub,
-            row_dev[bi], row_dev[bj],
-        )
-        pend_mt.append(mt)
-        pend_ln.append(ln)
-        if progress and (k + 1) % 50 == 0:
-            print(f"nw: tile {k + 1}/{len(coords)}", flush=True)
-    # one batched device->host transfer instead of one sync per tile
-    all_mt = np.asarray(jnp.stack(pend_mt))
-    all_ln = np.asarray(jnp.stack(pend_ln))
+    # fold as many tiles as the HBM score-diagonal budget allows into
+    # each kernel launch — per-launch dispatch (an RPC under the TPU
+    # relay) dominates end-to-end time, so fewer launches = faster
+    tc = _tiles_per_launch(
+        enc.max_len, enc.max_len, t * t, len(coords), backend
+    )
+    padded = coords + [(0, 0)] * (-len(coords) % tc)
+    stack_fn = _nw_tile_stack_fn(t, backend, gap_open, gap_ext)
+    # pre-stage every launch's index arrays on device before the
+    # dispatch loop: a host->device transfer inside the loop costs
+    # ~15 ms under the TPU relay and serializes against the compute
+    # queue, dwarfing the kernel itself
+    chunks = [padded[s : s + tc] for s in range(0, len(padded), tc)]
+    row_dev = [
+        jnp.asarray(block_ids[[c[0] for c in ch]]) for ch in chunks
+    ]
+    col_dev = [
+        jnp.asarray(block_ids[[c[1] for c in ch]]) for ch in chunks
+    ]
+    pend = []
+    for k, (rs, cs) in enumerate(zip(row_dev, col_dev)):
+        pend.append(stack_fn(seq_idx, lengths, sub, rs, cs))
+        if progress:
+            print(
+                f"nw: launch {k + 1}/{len(chunks)} ({tc} tiles each)",
+                flush=True,
+            )
+    # one batched device->host transfer instead of one sync per launch
+    # (each fetch is its own RPC under the TPU relay, ~tens of ms)
+    all_mt = np.asarray(jnp.concatenate([p[0] for p in pend]))
+    all_ln = np.asarray(jnp.concatenate([p[1] for p in pend]))
     for (bi, bj), mt, ln in zip(coords, all_mt, all_ln):
         sl_i = slice(bi * t, (bi + 1) * t)
         sl_j = slice(bj * t, (bj + 1) * t)

@@ -28,7 +28,7 @@ from ..cluster import ClusterBreakResult, clusterbreak
 from ..config import PipelineConfig
 from ..consensus import cluster_consensus
 from ..encode import encode
-from ..ops import nw_batch, tpu_available
+from ..ops import tpu_available
 
 
 def nw_rescore_pairs(
@@ -41,10 +41,21 @@ def nw_rescore_pairs(
     gap_ext: int = 4,
     batch: int = 256,
 ) -> np.ndarray:
-    """Exact NW similarity for an explicit pair list (batched on device)."""
+    """Exact NW similarity for an explicit pair list (batched on device).
+
+    Routes through the same backend selection as ``similarity_nw``: the
+    short (pairs-on-lanes) Pallas kernel for peptide-scale grids, the
+    long layout above that, scan elsewhere — with tile stacks folding
+    many batches into each kernel launch.
+    """
+    from ..api import _nw_pairlist_stack_fn, _short_batch, _tiles_per_launch
+
     max_len = max(len(s) for s in sequences)
-    use_pallas = tpu_available() and 48 <= max_len <= 4000
-    if use_pallas:
+    if tpu_available() and max_len <= 127:
+        pad_to = -(-(max_len + 1) // 8) * 8 - 1
+        backend = "pallas_short"
+        batch = _short_batch(pad_to + 1)
+    elif tpu_available() and max_len <= 4000:
         pad_to = -(-(max_len + 1) // 128) * 128 - 1
         backend = "pallas"
     else:
@@ -56,32 +67,32 @@ def nw_rescore_pairs(
     sub = jnp.asarray(blosum.get_matrix(matrix_name))
 
     n_pairs = len(pair_i)
-    pad = -(-max(n_pairs, 1) // batch) * batch
+    n_tiles = -(-max(n_pairs, 1) // batch)
+    tc = _tiles_per_launch(
+        enc.max_len, enc.max_len, batch, n_tiles, backend
+    )
+    n_tiles = -(-n_tiles // tc) * tc
+    pad = n_tiles * batch
     pi = np.zeros(pad, dtype=np.int32)
     pj = np.zeros(pad, dtype=np.int32)
     pi[:n_pairs] = pair_i
     pj[:n_pairs] = pair_j
-    out_mt: list = []
-    out_ln: list = []
-    pi_dev = jnp.asarray(pi)
-    pj_dev = jnp.asarray(pj)
-    for s in range(0, pad, batch):
-        rows = pi_dev[s : s + batch]
-        cols = pj_dev[s : s + batch]
-        res = nw_batch(
-            jnp.take(seq_idx, rows, axis=0),
-            jnp.take(lengths, rows),
-            jnp.take(seq_idx, cols, axis=0),
-            jnp.take(lengths, cols),
-            sub,
-            gap_open=gap_open,
-            gap_ext=gap_ext,
-            backend=backend,
-        )
-        out_mt.append(res.matches)
-        out_ln.append(res.length)
-    mt = np.asarray(jnp.concatenate(out_mt))[:n_pairs]
-    ln = np.asarray(jnp.concatenate(out_ln))[:n_pairs]
+    pi = pi.reshape(n_tiles, batch)
+    pj = pj.reshape(n_tiles, batch)
+    fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext)
+    # pre-stage index stacks on device (loop-interior transfers
+    # serialize against the compute queue under the TPU relay)
+    pi_dev = [jnp.asarray(pi[s : s + tc]) for s in range(0, n_tiles, tc)]
+    pj_dev = [jnp.asarray(pj[s : s + tc]) for s in range(0, n_tiles, tc)]
+    pend = []
+    for rs, cs in zip(pi_dev, pj_dev):
+        pend.append(fn(seq_idx, lengths, seq_idx, lengths, sub, rs, cs))
+    mt = np.asarray(
+        jnp.concatenate([p[0].reshape(-1) for p in pend])
+    )[:n_pairs]
+    ln = np.asarray(
+        jnp.concatenate([p[1].reshape(-1) for p in pend])
+    )[:n_pairs]
     with np.errstate(invalid="ignore", divide="ignore"):
         return mt.astype(np.float64) / ln
 

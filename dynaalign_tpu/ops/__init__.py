@@ -7,6 +7,7 @@ from .nw import nw_similarity_batch  # noqa: F401
 from .nw_pallas import (  # noqa: F401
     nw_similarity_batch_pallas,
     nw_similarity_batch_pallas_short,
+    nw_similarity_tiles_pallas,
 )
 
 
@@ -70,3 +71,36 @@ def nw_batch(
         a_idx, a_len, b_idx, b_len, sub,
         gap_open=gap_open, gap_ext=gap_ext,
     )
+
+
+def nw_batch_tiled(
+    a_idx, a_len, b_idx, b_len, sub, *,
+    gap_open: int = 10, gap_ext: int = 4,
+    backend: str = "auto", interpret: bool = False,
+):
+    """Batched NW over [T, B, L] tile stacks — one launch for all tiles.
+
+    Dispatches to the tiled Pallas sweep on TPU (dispatch overhead paid
+    once per call instead of once per tile); off-TPU, lax.map of the
+    scan kernel over the tile axis (bit-identical, bounded memory).
+    """
+    chosen = pick_nw_backend(
+        a_idx.shape[2], b_idx.shape[2], backend, bsz=a_idx.shape[1]
+    )
+    if chosen in ("pallas", "pallas_short"):
+        return nw_similarity_tiles_pallas(
+            a_idx, a_len, b_idx, b_len, sub,
+            layout="short" if chosen == "pallas_short" else "long",
+            gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+        )
+    import jax
+
+    res = jax.lax.map(
+        lambda args: tuple(nw_similarity_batch(
+            *args, sub, gap_open=gap_open, gap_ext=gap_ext
+        )),
+        (a_idx, a_len, b_idx, b_len),
+    )
+    from .nw import NWResult
+
+    return NWResult(matches=res[0], length=res[1])

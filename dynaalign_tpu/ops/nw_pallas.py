@@ -119,8 +119,15 @@ def _kernel(
     layout [B, Mp1] (pairs on sublanes — right when Mp1 fills the 128
     lanes), 0 for the short layout [Mp1, B] (pairs on lanes — right for
     peptide-scale DP grids, where Mp1 would waste >80% of each vreg).
+
+    The grid is (T, D/2): axis 0 sweeps independent pair tiles within
+    ONE kernel launch (the TPU grid runs sequentially, so scratch is
+    re-initialised per tile at g == 0 and the per-tile result emitted at
+    the last diagonal step) — this amortises the per-launch dispatch
+    cost, which dominates end-to-end all-pairs time, across the whole
+    tile sweep.
     """
-    g = pl.program_id(0)
+    g = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
     cap_shape = (shape[0], 1) if daxis == 1 else (1, shape[1])
 
@@ -182,18 +189,18 @@ def _kernel(
         # capture each pair's final cell (m, n) when its diagonal
         # arrives; guard the full-width select+reduce behind a cheap
         # [B,1] any() so most steps skip it
-        row_hit = fd_ref[:] == d1
+        row_hit = fd_ref[0] == d1
 
         @pl.when(jnp.any(row_hit))
         def _():
-            hit = row_hit & (alen_ref[:] == lane)
+            hit = row_hit & (alen_ref[0] == lane)
             cap[:] += jnp.sum(
                 jnp.where(hit, s_cell, 0), axis=daxis, keepdims=True
             )
 
         return m_cell, ix, iy, s_cell, best
 
-    packed = sd_ref[...].astype(jnp.int32)  # [2, B, Mp1]
+    packed = sd_ref[0].astype(jnp.int32)  # [2, *shape]
     d_odd = 2 * g + 1
     bm, bix, biy, bs = m_b[:], ix_b[:], iy_b[:], s_b[:]
     new_odd = cell(
@@ -210,9 +217,9 @@ def _kernel(
     best_a[:], s_a[:] = new_odd[4], new_odd[3]
     m_b[:], ix_b[:], iy_b[:], s_b[:] = new_even[:4]
 
-    @pl.when(g == pl.num_programs(0) - 1)
+    @pl.when(g == pl.num_programs(1) - 1)
     def _emit():
-        out_ref[:] = cap[:]
+        out_ref[0] = cap[:]
 
 
 @functools.partial(
@@ -254,14 +261,14 @@ def nw_similarity_batch_pallas(
         # there, so captures are unaffected)
         sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
         d_total += 1
-    alen = a_len.astype(jnp.int32).reshape(bsz, 1)
-    fd = (a_len + b_len).astype(jnp.int32).reshape(bsz, 1)
+    alen = a_len.astype(jnp.int32).reshape(1, bsz, 1)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(1, bsz, 1)
 
     out = _run_kernel(
-        sd, alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
+        sd[None], alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
         interpret,
     )
-    packed = out[:, 0]
+    packed = out[0, :, 0]
     return NWResult(
         matches=packed >> _LN_BITS, length=packed & _LN_MASK
     )
@@ -270,36 +277,108 @@ def nw_similarity_batch_pallas(
 def _run_kernel(
     sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret
 ):
-    """Launch the wavefront kernel for either state layout.
+    """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
-    shape = state-plane shape; daxis = DP-row axis; alen/fd/out carry a
-    trailing (long) or leading (short) singleton over the pair axis.
+    sd: [T, D, *shape] packed score diagonals; alen/fd: [T, *vshape];
+    returns [T, *vshape].  shape = state-plane shape; daxis = DP-row
+    axis (vshape carries the pair axis with a singleton DP-row side).
+    The T axis runs whole independent pair tiles back-to-back inside one
+    launch, so per-dispatch overhead is paid once per sweep, not once
+    per tile.
     """
+    t_tiles = sd.shape[0]
     kernel = functools.partial(
         _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis
     )
     vshape = (shape[0], 1) if daxis == 1 else (1, shape[1])
     state = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
     vec = lambda: pl.BlockSpec(  # noqa: E731
-        vshape, lambda g: (0, 0), memory_space=pltpu.VMEM
+        (1,) + vshape, lambda t, g: (t, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        grid=(d_total // 2,),
+        grid=(t_tiles, d_total // 2),
         in_specs=[
             pl.BlockSpec(
-                (2,) + shape, lambda g: (g, 0, 0),
+                (1, 2) + shape, lambda t, g: (t, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             vec(),
             vec(),
         ],
         out_specs=vec(),
-        out_shape=jax.ShapeDtypeStruct(vshape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t_tiles,) + vshape, jnp.int32),
         scratch_shapes=[state() for _ in range(6)]
         + [pltpu.VMEM(vshape, jnp.int32)],
         interpret=interpret,
     )(sd, alen, fd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "gap_open", "gap_ext", "interpret"),
+)
+def nw_similarity_tiles_pallas(
+    a_idx: jnp.ndarray,  # int32 [T, B, M]
+    a_len: jnp.ndarray,  # int32 [T, B]
+    b_idx: jnp.ndarray,  # int32 [T, B, N]
+    b_len: jnp.ndarray,  # int32 [T, B]
+    sub: jnp.ndarray,  # int32 [32, 32]
+    *,
+    layout: str,  # "long" | "short"
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    interpret: bool = False,
+) -> NWResult:
+    """T independent pair tiles swept in ONE kernel launch.
+
+    End-to-end all-pairs time is dominated by per-launch dispatch cost
+    (each launch pays a host->device RPC); folding the tile loop into
+    the Pallas grid amortises it across the whole sweep.  The score
+    prepass runs under ``lax.map`` so its [B, M, N] intermediates stay
+    per-tile.  Returns [T, B] (matches, length).
+    """
+    t_tiles, bsz, m = a_idx.shape
+    n = b_idx.shape[2]
+    if m + n >= (1 << _LN_BITS):
+        raise ValueError(
+            f"padded m+n = {m + n} exceeds packed-length budget "
+            f"{(1 << _LN_BITS) - 1}; use ops.nw.nw_similarity_batch"
+        )
+    mp1 = m + 1
+    d_total = m + n
+    pad_d = d_total % 2
+
+    def pack(args):
+        ai, bi = args
+        sd = _pack_score_diagonals(
+            ai.astype(jnp.int32), bi.astype(jnp.int32), sub
+        )
+        if layout == "short":
+            sd = jnp.transpose(sd, (0, 2, 1))
+        if pad_d:
+            sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
+        return sd
+
+    sd = jax.lax.map(pack, (a_idx, b_idx))  # [T, D, *shape]
+    alen = a_len.astype(jnp.int32)
+    fd = (a_len + b_len).astype(jnp.int32)
+    if layout == "short":
+        shape, daxis = (mp1, bsz), 0
+        alen = alen.reshape(t_tiles, 1, bsz)
+        fd = fd.reshape(t_tiles, 1, bsz)
+    else:
+        shape, daxis = (bsz, mp1), 1
+        alen = alen.reshape(t_tiles, bsz, 1)
+        fd = fd.reshape(t_tiles, bsz, 1)
+    out = _run_kernel(
+        sd, alen, fd, shape, daxis, d_total + pad_d, gap_open, gap_ext,
+        interpret,
+    )
+    packed = out[:, :, 0] if daxis == 1 else out[:, 0, :]  # [T, B]
+    return NWResult(
+        matches=packed >> _LN_BITS, length=packed & _LN_MASK
+    )
 
 
 @functools.partial(
@@ -342,14 +421,14 @@ def nw_similarity_batch_pallas_short(
     if d_total % 2:
         sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
         d_total += 1
-    alen = a_len.astype(jnp.int32).reshape(1, bsz)
-    fd = (a_len + b_len).astype(jnp.int32).reshape(1, bsz)
+    alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(1, 1, bsz)
 
     out = _run_kernel(
-        sd, alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
+        sd[None], alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
         interpret,
     )
-    packed = out[0, :]
+    packed = out[0, 0, :]
     return NWResult(
         matches=packed >> _LN_BITS, length=packed & _LN_MASK
     )
