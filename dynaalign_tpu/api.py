@@ -99,6 +99,30 @@ def similarity_mh(
         raise ValueError("Number of hash functions must be positive")
     enc = encode(sequences, validate=False)  # MH hashes raw bytes; any
     # character is hashable (the reference accepts arbitrary strings too)
+    n = enc.n
+    if n <= 2 * chunk and enc.max_len >= k:
+        # small workloads: one fused dispatch (signatures + agreement)
+        # instead of several round trips under the TPU relay
+        from .ops.minhash import _fused_mh_kernel
+        from .utils import hash_family_seeds
+
+        n_pad = -(-n // block) * block
+        ascii_p = np.zeros((n_pad, enc.ascii.shape[1]), dtype=np.uint8)
+        ascii_p[:n] = enc.ascii
+        len_p = np.zeros(n_pad, dtype=np.int32)
+        len_p[:n] = enc.lengths
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = True
+        counts = _fused_mh_kernel(
+            jnp.asarray(ascii_p), jnp.asarray(len_p),
+            jnp.asarray(hash_family_seeds(n_hash, seed)),
+            jnp.asarray(valid), k=k, block=block,
+        )
+        sims = np.asarray(counts)[:n, :n].astype(np.float64) / float(
+            n_hash
+        )
+        np.fill_diagonal(sims, 1.0)
+        return sims
     sigs = minhash_signatures(
         enc.ascii, enc.lengths, k=k, n_hash=n_hash, seed=seed, chunk=chunk
     )

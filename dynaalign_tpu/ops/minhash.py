@@ -94,6 +94,12 @@ def minhash_signatures(
     return jnp.concatenate(outs, axis=0)[:n]
 
 
+def _count_dtype(n_hash: int):
+    # counts are <= n_hash; uint8 quarters the device->host transfer
+    # (the [N, N] count matrix dominates bytes moved at large N)
+    return jnp.uint8 if n_hash <= 255 else jnp.int32
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def _agreement_kernel(
     sigs: jnp.ndarray, *, block: int = 256
@@ -101,19 +107,46 @@ def _agreement_kernel(
     """All-pairs signature agreement counts, blocked over rows.
 
     sigs: uint32 [N, H] with N padded to a multiple of ``block`` by the
-    caller.  Returns int32 [N, N] counts of agreeing slots; XLA fuses the
-    [block, N, H] compare with its reduction so it never materializes.
+    caller.  Returns [N, N] counts of agreeing slots (uint8 when they
+    fit); XLA fuses the [block, N, H] compare with its reduction so it
+    never materializes.
     """
     n, n_hash = sigs.shape
+    dt = _count_dtype(n_hash)
 
     def row_block(i, acc):
         blk = jax.lax.dynamic_slice(sigs, (i * block, 0), (block, n_hash))
         eq = blk[:, None, :] == sigs[None, :, :]  # [block, N, H] (fused)
-        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
+        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32).astype(dt)
         return jax.lax.dynamic_update_slice(acc, counts, (i * block, 0))
 
-    acc = jnp.zeros((n, n), dtype=jnp.int32)
+    acc = jnp.zeros((n, n), dtype=dt)
     return jax.lax.fori_loop(0, n // block, row_block, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _fused_mh_kernel(
+    ascii_tokens: jnp.ndarray,  # uint8 [N, L] (N padded to block)
+    lengths: jnp.ndarray,  # int32 [N]
+    seeds: jnp.ndarray,  # uint32 [H]
+    row_valid: jnp.ndarray,  # bool [N] (False for padding rows)
+    *,
+    k: int,
+    block: int,
+) -> jnp.ndarray:
+    """Signature build + all-pairs agreement in ONE dispatch.
+
+    For small workloads the two-kernel path pays several host->device
+    round trips (each an RPC under the TPU relay); fusing them keeps a
+    641-probe quick-start call to a single execute + one fetch.  Padding
+    rows get per-row distinct signatures so they never agree.
+    """
+    sigs = _signatures_kernel(ascii_tokens, lengths, seeds, k=k)
+    n = sigs.shape[0]
+    # make padding rows pairwise-distinct and distinct from real rows
+    row_id = jnp.arange(n, dtype=jnp.uint32)[:, None] + jnp.uint32(1)
+    sigs = jnp.where(row_valid[:, None], sigs, row_id)
+    return _agreement_kernel(sigs, block=block)
 
 
 def signature_agreement_counts(
