@@ -26,6 +26,7 @@ from .encode import bucket_by_length, encode
 from .ops import (
     nw_batch,
     nw_batch_tiled,
+    nw_i16_ok,
     pick_nw_backend,
     tpu_available,
 )
@@ -161,7 +162,9 @@ def _nw_tile_fn(
 
 
 @functools.lru_cache(maxsize=64)
-def _nw_tile_stack_fn(t: int, backend: str, gap_open: int, gap_ext: int):
+def _nw_tile_stack_fn(
+    t: int, backend: str, gap_open: int, gap_ext: int, i16: bool = False
+):
     """Jitted multi-tile NW sweep: a [Tc, t] x [Tc, t] stack of pair
     blocks in ONE device dispatch (the tiled Pallas grid runs the blocks
     back-to-back, so per-launch overhead is paid once per stack)."""
@@ -180,6 +183,7 @@ def _nw_tile_stack_fn(t: int, backend: str, gap_open: int, gap_ext: int):
             jnp.tile(lb, (1, t)),
             sub,
             gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+            score_i16=i16,
         )
         return (
             res.matches.reshape(tc, t, t),
@@ -221,7 +225,9 @@ def _nw_pairlist_fn(backend: str, gap_open: int, gap_ext: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _nw_pairlist_stack_fn(backend: str, gap_open: int, gap_ext: int):
+def _nw_pairlist_stack_fn(
+    backend: str, gap_open: int, gap_ext: int, i16: bool = False
+):
     """Jitted [Tc, B] pair-list stacks — Tc batches per device dispatch."""
 
     @jax.jit
@@ -238,6 +244,7 @@ def _nw_pairlist_stack_fn(backend: str, gap_open: int, gap_ext: int):
             jnp.take(len_b, cols.reshape(-1)).reshape(tc, bsz),
             sub,
             gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+            score_i16=i16,
         )
         return res.matches, res.length
 
@@ -267,7 +274,8 @@ def similarity_nw_bucketed(
     n = len(seqs)
     if n == 0:
         raise ValueError("Input sequences vector cannot be empty")
-    sub = jnp.asarray(blosum.get_matrix(matrix_name))
+    sub_np = blosum.get_matrix(matrix_name)
+    sub = jnp.asarray(sub_np)
     buckets = bucket_by_length(seqs, bucket_edges=bucket_edges)
     which = np.zeros(n, dtype=np.int64)  # global index -> bucket id
     local = np.zeros(n, dtype=np.int64)  # global index -> index in bucket
@@ -294,7 +302,11 @@ def similarity_nw_bucketed(
         cols = local[gj].astype(np.int32)
         npairs = len(rows)
         m_a = buckets[ba][1].max_len
-        backend = pick_nw_backend(m_a, buckets[bb][1].max_len)
+        m_b_len = buckets[bb][1].max_len
+        backend = pick_nw_backend(m_a, m_b_len)
+        i16 = backend.startswith("pallas") and nw_i16_ok(
+            m_a, m_b_len, gap_open, gap_ext, sub_np
+        )
         # short-kernel groups take much larger pair batches (pairs ride
         # the lane axis, so VMEM scales with rows+1, not 128 lanes)
         grp_batch = (
@@ -308,7 +320,7 @@ def similarity_nw_bucketed(
         pad = n_tiles * grp_batch
         rows = np.pad(rows, (0, pad - npairs)).reshape(n_tiles, grp_batch)
         cols = np.pad(cols, (0, pad - npairs)).reshape(n_tiles, grp_batch)
-        fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext)
+        fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext, i16)
         seq_a, len_a = devs[ba]
         seq_b, len_b = devs[bb]
         # pre-stage index stacks on device (loop-interior transfers
@@ -359,7 +371,8 @@ def similarity_nw(
     n = len(sequences)
     if n == 0:
         raise ValueError("Input sequences vector cannot be empty")
-    sub = jnp.asarray(blosum.get_matrix(matrix_name))
+    sub_np = blosum.get_matrix(matrix_name)
+    sub = jnp.asarray(sub_np)
     max_len = max(len(s) for s in sequences)
     if tpu_available() and max_len <= 127:
         # short fast path: pairs on the lane axis, sublane-aligned rows
@@ -400,7 +413,10 @@ def similarity_nw(
         enc.max_len, enc.max_len, t * t, len(coords), backend
     )
     padded = coords + [(0, 0)] * (-len(coords) % tc)
-    stack_fn = _nw_tile_stack_fn(t, backend, gap_open, gap_ext)
+    i16 = backend.startswith("pallas") and nw_i16_ok(
+        enc.max_len, enc.max_len, gap_open, gap_ext, sub_np
+    )
+    stack_fn = _nw_tile_stack_fn(t, backend, gap_open, gap_ext, i16)
     # pre-stage every launch's index arrays on device before the
     # dispatch loop: a host->device transfer inside the loop costs
     # ~15 ms under the TPU relay and serializes against the compute

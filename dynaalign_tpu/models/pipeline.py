@@ -79,7 +79,13 @@ def nw_rescore_pairs(
     pj[:n_pairs] = pair_j
     pi = pi.reshape(n_tiles, batch)
     pj = pj.reshape(n_tiles, batch)
-    fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext)
+    from ..ops import nw_i16_ok
+
+    i16 = backend.startswith("pallas") and nw_i16_ok(
+        enc.max_len, enc.max_len, gap_open, gap_ext,
+        blosum.get_matrix(matrix_name),
+    )
+    fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext, i16)
     # pre-stage index stacks on device (loop-interior transfers
     # serialize against the compute queue under the TPU relay)
     pi_dev = [jnp.asarray(pi[s : s + tc]) for s in range(0, n_tiles, tc)]

@@ -5,6 +5,7 @@ from .minhash import (  # noqa: F401
 )
 from .nw import nw_similarity_batch  # noqa: F401
 from .nw_pallas import (  # noqa: F401
+    nw_i16_ok,
     nw_similarity_batch_pallas,
     nw_similarity_batch_pallas_short,
     nw_similarity_tiles_pallas,
@@ -52,8 +53,14 @@ def nw_batch(
     a_idx, a_len, b_idx, b_len, sub, *,
     gap_open: int = 10, gap_ext: int = 4,
     backend: str = "auto", interpret: bool = False,
+    score_i16: bool = False,
 ):
-    """Backend-dispatched batched NW (matches, length)."""
+    """Backend-dispatched batched NW (matches, length).
+
+    score_i16 (Pallas backends only) stores the DP score planes as
+    int16 — callers must gate it with ops.nw_pallas.nw_i16_ok on the
+    concrete gap params + substitution matrix.
+    """
     chosen = pick_nw_backend(
         a_idx.shape[1], b_idx.shape[1], backend, bsz=a_idx.shape[0]
     )
@@ -61,11 +68,13 @@ def nw_batch(
         return nw_similarity_batch_pallas_short(
             a_idx, a_len, b_idx, b_len, sub,
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+            score_i16=score_i16,
         )
     if chosen == "pallas":
         return nw_similarity_batch_pallas(
             a_idx, a_len, b_idx, b_len, sub,
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+            score_i16=score_i16,
         )
     return nw_similarity_batch(
         a_idx, a_len, b_idx, b_len, sub,
@@ -77,6 +86,7 @@ def nw_batch_tiled(
     a_idx, a_len, b_idx, b_len, sub, *,
     gap_open: int = 10, gap_ext: int = 4,
     backend: str = "auto", interpret: bool = False,
+    score_i16: bool = False,
 ):
     """Batched NW over [T, B, L] tile stacks — one launch for all tiles.
 
@@ -92,6 +102,7 @@ def nw_batch_tiled(
             a_idx, a_len, b_idx, b_len, sub,
             layout="short" if chosen == "pallas_short" else "long",
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+            score_i16=score_i16,
         )
     import jax
 

@@ -52,8 +52,49 @@ from jax.experimental.pallas import tpu as pltpu
 from .nw import NWResult
 
 NEG = np.int32(np.iinfo(np.int32).min // 2)
+# int16 score planes use a clamped sentinel: unlike the int32 sentinel
+# (which can decay by gap penalties for thousands of diagonals without
+# ever approaching legit values), int16 would wrap, so sentinel-lineage
+# values are re-clamped to NEG16 every diagonal and eligibility is
+# gated by nw_i16_ok's bound on the deepest legit DP value.
+NEG16 = np.int16(-26000)
 _LN_BITS = 13
 _LN_MASK = (1 << _LN_BITS) - 1
+
+
+def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
+    """True when int16 score planes are provably bit-exact for this config.
+
+    Currently opt-in via DYNAALIGN_NW_I16=1: the v5e Mosaic toolchain in
+    this environment rejects 16-bit vector compares ("Target does not
+    support this comparison"), and the DP is compare/select-dominated,
+    so the int16 path cannot compile there.  The kernel logic itself is
+    correct (interpret-mode tests cover it bit-for-bit) and the gate
+    below is the provable-overflow bound to enable it on toolchains
+    with packed int16 ALU support.
+
+    Any legit DP value is a sum over at most m+n moves, each costing at
+    least -(gap_open+gap_ext) (a gap open; extends cost less) or at
+    least -max|sub| (a substitution), plus one border open — so its
+    magnitude is bounded by (m+n)*worst_step + gap_open.  The clamped
+    sentinel must stay strictly below every legit value even after one
+    +score step, and the largest legit value (all-match path) must fit
+    int16.
+    """
+    import os
+
+    if os.environ.get("DYNAALIGN_NW_I16") != "1":
+        return False
+    sub = np.asarray(sub)
+    smax = int(np.max(np.abs(sub)))
+    worst_step = max(gap_open + gap_ext, smax)
+    deepest = (m + n) * worst_step + gap_open
+    highest = smax * min(m, n) + smax
+    return (
+        deepest + smax + 64 < -int(NEG16)
+        and highest < 32767
+        and -int(NEG16) + gap_open + gap_ext + smax < 32768
+    )
 
 
 def _pack_score_diagonals(
@@ -106,6 +147,7 @@ def _kernel(
     ge: int,
     shape: tuple,
     daxis: int,
+    i16: bool = False,
 ):
     """Two anti-diagonals per grid step; DP-row axis parametric.
 
@@ -130,21 +172,29 @@ def _kernel(
     g = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
     cap_shape = (shape[0], 1) if daxis == 1 else (1, shape[1])
+    sdt = jnp.int16 if i16 else jnp.int32
+    neg = sdt(NEG16) if i16 else NEG
 
     @pl.when(g == 0)
     def _init():
         # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
-        m_b[:] = jnp.where(lane == 0, 0, NEG)
-        ix_b[:] = jnp.full(shape, NEG, jnp.int32)
-        iy_b[:] = jnp.full(shape, NEG, jnp.int32)
+        # (mask computed at the score dtype's register width — Mosaic
+        # cannot relayout i1 masks between 16- and 32-bit shapes)
+        m_b[:] = jnp.where(lane.astype(sdt) == sdt(0), sdt(0), neg)
+        ix_b[:] = jnp.full(shape, neg, sdt)
+        iy_b[:] = jnp.full(shape, neg, sdt)
         s_b[:] = jnp.zeros(shape, jnp.int32)
         # odd set (= diagonal -1): never a real ancestor; sentinels
-        best_a[:] = jnp.full(shape, NEG, jnp.int32)
+        best_a[:] = jnp.full(shape, neg, sdt)
         s_a[:] = jnp.zeros(shape, jnp.int32)
         cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
-        return pltpu.roll(x, 1, daxis)
+        if x.dtype == jnp.int32:
+            return pltpu.roll(x, 1, daxis)
+        # Mosaic has no 16-bit rotate; round-trip through int32 (the
+        # i16 win is plane storage/bandwidth, not the rotate itself)
+        return pltpu.roll(x.astype(jnp.int32), 1, daxis).astype(x.dtype)
 
     def cell(d1, score, match, prev, prev2):
         """One diagonal's update.
@@ -157,29 +207,56 @@ def _kernel(
         """
         pM, pIx, pIy, pS = prev
         qBest, qS = prev2
+        score = score.astype(sdt)
 
-        ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
-        iy = jnp.maximum(pM - (go + ge), pIy - ge)
+        ix = jnp.maximum(sh(pM) - sdt(go + ge), sh(pIx) - sdt(ge))
+        iy = jnp.maximum(pM - sdt(go + ge), pIy - sdt(ge))
         mnew = sh(qBest) + score
+        if i16:
+            # re-clamp sentinel lineage: int16 would wrap under the
+            # per-diagonal gap decay; legit values never reach NEG16
+            # (nw_i16_ok gate), so clamping only touches sentinels
+            ix = jnp.maximum(ix, neg)
+            iy = jnp.maximum(iy, neg)
+            mnew = jnp.maximum(mnew, neg)
 
         d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
         u_sel = (~d_sel) & (ix >= iy)
         m_cell = jnp.where(d_sel, mnew, jnp.where(u_sel, ix, iy))
+        if i16:
+            # the stats select runs on int32 planes; Mosaic cannot
+            # relayout i1 masks between 16- and 32-bit register shapes,
+            # so rebuild the same masks from widened operands
+            mnew32 = mnew.astype(jnp.int32)
+            ix32 = ix.astype(jnp.int32)
+            iy32 = iy.astype(jnp.int32)
+            d_sel_s = (mnew32 >= ix32) & (mnew32 >= iy32)
+            u_sel_s = (~d_sel_s) & (ix32 >= iy32)
+        else:
+            d_sel_s, u_sel_s = d_sel, u_sel
         s_cell = (
             jnp.where(
-                d_sel,
+                d_sel_s,
                 sh(qS) + (match << _LN_BITS),
-                jnp.where(u_sel, sh(pS), pS),
+                jnp.where(u_sel_s, sh(pS), pS),
             )
             + 1  # length += 1 on every move
         )
 
-        border_gap = -go - (d1 - 1) * ge
+        border_gap = (-go - (d1 - 1) * ge).astype(sdt)
         is0 = lane == 0
         isd = lane == d1
-        m_cell = jnp.where(is0 | isd, NEG, m_cell)
-        ix = jnp.where(isd, border_gap, jnp.where(is0, NEG, ix))
-        iy = jnp.where(is0, border_gap, jnp.where(isd, NEG, iy))
+        if i16:
+            # same mask-relayout constraint: 16-bit-layout copies for
+            # the score-plane selects, 32-bit ones for the stats plane
+            lane16 = lane.astype(jnp.int16)
+            is0_v = lane16 == jnp.int16(0)
+            isd_v = lane16 == d1.astype(jnp.int16)
+        else:
+            is0_v, isd_v = is0, isd
+        m_cell = jnp.where(is0_v | isd_v, neg, m_cell)
+        ix = jnp.where(isd_v, border_gap, jnp.where(is0_v, neg, ix))
+        iy = jnp.where(is0_v, border_gap, jnp.where(isd_v, neg, iy))
         s_cell = jnp.where(is0 | isd, d1, s_cell)
         # interior: m_cell is already max(mnew, ix, iy); at borders the
         # two extra maxes fold border_gap in — this is all diagonal d1's
@@ -224,7 +301,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_open", "gap_ext", "interpret"),
+    static_argnames=("gap_open", "gap_ext", "interpret", "score_i16"),
 )
 def nw_similarity_batch_pallas(
     a_idx: jnp.ndarray,  # int32 [B, M]
@@ -236,6 +313,7 @@ def nw_similarity_batch_pallas(
     gap_open: int = 10,
     gap_ext: int = 4,
     interpret: bool = False,
+    score_i16: bool = False,
 ) -> NWResult:
     """(matches, alignment_length) per pair — Pallas TPU fast path.
 
@@ -266,7 +344,7 @@ def nw_similarity_batch_pallas(
 
     out = _run_kernel(
         sd[None], alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
-        interpret,
+        interpret, score_i16,
     )
     packed = out[0, :, 0]
     return NWResult(
@@ -275,7 +353,8 @@ def nw_similarity_batch_pallas(
 
 
 def _run_kernel(
-    sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret
+    sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret,
+    i16=False,
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
@@ -284,14 +363,18 @@ def _run_kernel(
     axis (vshape carries the pair axis with a singleton DP-row side).
     The T axis runs whole independent pair tiles back-to-back inside one
     launch, so per-dispatch overhead is paid once per sweep, not once
-    per tile.
+    per tile.  i16 stores the four score planes as int16 (halving their
+    VMEM traffic); the packed (matches, length) planes stay int32.
     """
     t_tiles = sd.shape[0]
     kernel = functools.partial(
-        _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis
+        _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis,
+        i16=i16,
     )
+    sdt = jnp.int16 if i16 else jnp.int32
     vshape = (shape[0], 1) if daxis == 1 else (1, shape[1])
-    state = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
+    score_plane = lambda: pltpu.VMEM(shape, sdt)  # noqa: E731
+    stat_plane = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
     vec = lambda: pl.BlockSpec(  # noqa: E731
         (1,) + vshape, lambda t, g: (t, 0, 0), memory_space=pltpu.VMEM
     )
@@ -308,15 +391,23 @@ def _run_kernel(
         ],
         out_specs=vec(),
         out_shape=jax.ShapeDtypeStruct((t_tiles,) + vshape, jnp.int32),
-        scratch_shapes=[state() for _ in range(6)]
-        + [pltpu.VMEM(vshape, jnp.int32)],
+        scratch_shapes=[
+            score_plane(),  # best_a
+            stat_plane(),  # s_a
+            score_plane(),  # m_b
+            score_plane(),  # ix_b
+            score_plane(),  # iy_b
+            stat_plane(),  # s_b
+            pltpu.VMEM(vshape, jnp.int32),  # cap
+        ],
         interpret=interpret,
     )(sd, alen, fd)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "gap_open", "gap_ext", "interpret"),
+    static_argnames=("layout", "gap_open", "gap_ext", "interpret",
+                     "score_i16"),
 )
 def nw_similarity_tiles_pallas(
     a_idx: jnp.ndarray,  # int32 [T, B, M]
@@ -329,6 +420,7 @@ def nw_similarity_tiles_pallas(
     gap_open: int = 10,
     gap_ext: int = 4,
     interpret: bool = False,
+    score_i16: bool = False,
 ) -> NWResult:
     """T independent pair tiles swept in ONE kernel launch.
 
@@ -373,7 +465,7 @@ def nw_similarity_tiles_pallas(
         fd = fd.reshape(t_tiles, bsz, 1)
     out = _run_kernel(
         sd, alen, fd, shape, daxis, d_total + pad_d, gap_open, gap_ext,
-        interpret,
+        interpret, score_i16,
     )
     packed = out[:, :, 0] if daxis == 1 else out[:, 0, :]  # [T, B]
     return NWResult(
@@ -383,7 +475,7 @@ def nw_similarity_tiles_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_open", "gap_ext", "interpret"),
+    static_argnames=("gap_open", "gap_ext", "interpret", "score_i16"),
 )
 def nw_similarity_batch_pallas_short(
     a_idx: jnp.ndarray,  # int32 [B, M]
@@ -395,6 +487,7 @@ def nw_similarity_batch_pallas_short(
     gap_open: int = 10,
     gap_ext: int = 4,
     interpret: bool = False,
+    score_i16: bool = False,
 ) -> NWResult:
     """Short-sequence fast path: pairs ride the 128-lane axis.
 
@@ -426,7 +519,7 @@ def nw_similarity_batch_pallas_short(
 
     out = _run_kernel(
         sd[None], alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
-        interpret,
+        interpret, score_i16,
     )
     packed = out[0, 0, :]
     return NWResult(

@@ -97,6 +97,61 @@ def test_pallas_short_gap_variants(gaps, make_seqs):
     )
 
 
+def test_i16_eligibility_gate(monkeypatch):
+    from dynaalign_tpu.ops import nw_i16_ok
+
+    sub = blosum.get_matrix("BLOSUM62")
+    # off by default (the v5e Mosaic toolchain lacks int16 compares)
+    assert not nw_i16_ok(639, 639, 10, 4, sub)
+    monkeypatch.setenv("DYNAALIGN_NW_I16", "1")
+    # h3n2-scale config with defaults: provably safe
+    assert nw_i16_ok(639, 639, 10, 4, sub)
+    # peptide-scale: safe
+    assert nw_i16_ok(15, 15, 10, 4, sub)
+    # huge padded lengths or giant gap penalties: not safe
+    assert not nw_i16_ok(2047, 2047, 10, 4, sub)
+    assert not nw_i16_ok(639, 639, 10_000, 4_000, sub)
+
+
+@pytest.mark.parametrize("kernel_kind", ["long", "short"])
+def test_pallas_i16_bit_exact(kernel_kind, make_seqs):
+    # int16 score planes must match the int32 path bit-for-bit when the
+    # eligibility gate passes
+    kernel = (
+        nw_similarity_batch_pallas
+        if kernel_kind == "long"
+        else nw_similarity_batch_pallas_short
+    )
+    seqs = make_seqs(48, 1, 60, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:24], seqs[24:]))
+    ea = encode.encode([p[0] for p in pairs], pad_to=63)
+    eb = encode.encode([p[1] for p in pairs], pad_to=63)
+    sub = jnp.asarray(blosum.get_matrix())
+    res = kernel(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub, interpret=True, score_i16=True,
+    )
+    np.testing.assert_array_equal(res.similarity(), _oracle(pairs))
+
+
+def test_pallas_i16_gap_variants(make_seqs):
+    seqs = make_seqs(16, 3, 40)
+    pairs = list(zip(seqs[:8], seqs[8:]))
+    ea = encode.encode([p[0] for p in pairs], pad_to=47)
+    eb = encode.encode([p[1] for p in pairs], pad_to=47)
+    sub = jnp.asarray(blosum.get_matrix("BLOSUM100"))
+    res = nw_similarity_batch_pallas(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub, gap_open=12, gap_ext=2, interpret=True, score_i16=True,
+    )
+    np.testing.assert_array_equal(
+        res.similarity(),
+        _oracle(pairs, matrix="BLOSUM100", go=12, ge=2),
+    )
+
+
 def test_pallas_short_asymmetric_buckets(make_seqs):
     # cross-bucket group shapes: short a-side against a longer b-side
     a = make_seqs(6, 2, 15)
