@@ -10,6 +10,7 @@ the same shape as the repo-root ``bench.py`` headline metric:
   4. hybrid_panels   — MH+NW hybrid rescoring on the viral panels
   5. scaling         — sharded all-pairs scaling efficiency over mesh
                        sizes (virtual CPU devices unless on a real slice)
+  6. topk_large      — 100k-scale sparse top-k clustering (config 5)
 
 Usage:
   python benchmarks/run_benchmarks.py --bench mh_quickstart
@@ -198,12 +199,54 @@ def bench_scaling(args) -> None:
     })
 
 
+def bench_topk_large(args) -> None:
+    """BASELINE config 5: 100k-scale peptide clustering, no dense matrix.
+
+    allunique (65,339 12-mer peptides, the repo's largest bundled set,
+    padded with synthetic mutants up to --large-n) through the sparse
+    top-k graph + Louvain path (ops.topk_graph.cluster_large)."""
+    from dynaalign_tpu.io.datasets import load_sequences
+    from dynaalign_tpu.ops.topk_graph import cluster_large
+
+    seqs = list(load_sequences("allunique"))
+    if args.large_n > len(seqs):
+        # synthesize point mutants to reach the requested scale
+        rng = np.random.default_rng(0)
+        aas = list("ARNDCQEGHILKMFPSTWYV")
+        base = rng.choice(len(seqs), size=args.large_n - len(seqs))
+        for b in base:
+            s = list(seqs[int(b)])
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(aas))
+            seqs.append("".join(s))
+    else:
+        seqs = seqs[: args.large_n] if args.large_n else seqs
+    n = len(seqs)
+    t0 = time.perf_counter()
+    membership = cluster_large(
+        seqs, k=4, n_hash=50, seed=0, top_k=32, thresh_p=0.8
+    )
+    dt = time.perf_counter() - t0
+    n_clusters = int(len(np.unique(membership)))
+    _emit({
+        "metric": "topk_cluster_seqs_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "seqs/s",
+        "vs_baseline": None,  # the reference cannot run this scale
+        "n_seqs": n,
+        "n_clusters": n_clusters,
+        "total_seconds": round(dt, 1),
+        "note": "dense [N,N] would need "
+        f"{n * n * 8 / 1e9:.1f} GB; top-k graph avoids it",
+    })
+
+
 BENCHES = {
     "mh_quickstart": bench_mh_quickstart,
     "nw_h3n2": bench_nw_h3n2,
     "clusterbreak": bench_clusterbreak,
     "hybrid_panels": bench_hybrid_panels,
     "scaling": bench_scaling,
+    "topk_large": bench_topk_large,
 }
 
 
@@ -218,6 +261,9 @@ def main(argv=None) -> int:
     p.add_argument("--panel-limit", type=int, default=300)
     p.add_argument("--scale-n", type=int, default=2048)
     p.add_argument("--scale-reps", type=int, default=3)
+    p.add_argument("--large-n", type=int, default=0,
+                   help="topk_large size (0 = full allunique, 65,339; "
+                        "set >65339 to pad with synthetic mutants)")
     args = p.parse_args(argv)
     if not args.all and not args.bench:
         p.error("pass --bench NAME or --all")
