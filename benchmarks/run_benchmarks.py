@@ -137,6 +137,7 @@ def bench_hybrid_panels(args) -> None:
     for panel in ("adenovirus", "parvovirus", "polyomavirus"):
         seqs = load_sequences(panel, limit=args.panel_limit)
         n = len(seqs)
+        similarity_hybrid(seqs, k=4, n_hash=50, seed=0)  # warm/compile
         t0 = time.perf_counter()
         similarity_hybrid(seqs, k=4, n_hash=50, seed=0)
         dt = time.perf_counter() - t0
