@@ -189,6 +189,24 @@ def bench_scaling(args) -> None:
     eff = {
         str(d): round(rates[d] / (base * d), 3) for d in sizes
     }
+    ratio = {str(d): round(rates[d] / base, 3) for d in sizes}
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        # virtual host-platform devices share the same physical cores:
+        # ideal here is a FLAT total rate (ratio ~1.0 = zero
+        # partitioning overhead), not linear scaling
+        _emit({
+            "metric": "scaling_partition_overhead",
+            "value": ratio[str(sizes[-1])],
+            "unit": f"total-rate ratio at {sizes[-1]} virtual devices "
+                    "(1.0 = zero partitioning overhead)",
+            "vs_baseline": None,
+            "devices": sizes,
+            "rate_ratio": ratio,
+            "linear_efficiency_if_real_chips": eff,
+            "platform": platform,
+        })
+        return
     _emit({
         "metric": "scaling_efficiency",
         "value": eff[str(sizes[-1])],
@@ -196,7 +214,7 @@ def bench_scaling(args) -> None:
         "vs_baseline": None,
         "devices": sizes,
         "efficiency": eff,
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
     })
 
 
