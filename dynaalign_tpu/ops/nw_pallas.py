@@ -42,6 +42,7 @@ grid step.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,16 +63,21 @@ _LN_BITS = 13
 _LN_MASK = (1 << _LN_BITS) - 1
 
 
+def _diags_per_step() -> int:
+    """Anti-diagonals processed per grid step (even; probe-tunable)."""
+    return int(os.environ.get("DYNAALIGN_NW_DIAGS", "2"))
+
+
 def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     """True when int16 score planes are provably bit-exact for this config.
 
-    Currently opt-in via DYNAALIGN_NW_I16=1: the v5e Mosaic toolchain in
-    this environment rejects 16-bit vector compares ("Target does not
-    support this comparison"), and the DP is compare/select-dominated,
-    so the int16 path cannot compile there.  The kernel logic itself is
-    correct (interpret-mode tests cover it bit-for-bit) and the gate
-    below is the provable-overflow bound to enable it on toolchains
-    with packed int16 ALU support.
+    i16 is storage-only: scratch planes are stored int16 (halving the
+    dominant VMEM scratch traffic) while all ALU ops, compares and
+    lane-rolls run at int32 — loads widen, stores narrow — so none of
+    the v5e Mosaic 16-bit vector-op restrictions apply.  Opt-in via
+    DYNAALIGN_NW_I16=1 while it is being qualified on real hardware;
+    the gate below is the provable-overflow bound under which the
+    narrowing store cannot wrap.
 
     Any legit DP value is a sum over at most m+n moves, each costing at
     least -(gap_open+gap_ext) (a gap open; extends cost less) or at
@@ -148,14 +154,16 @@ def _kernel(
     shape: tuple,
     daxis: int,
     i16: bool = False,
+    n_diag: int = 2,
 ):
-    """Two anti-diagonals per grid step; DP-row axis parametric.
+    """``n_diag`` anti-diagonals per grid step; DP-row axis parametric.
 
-    With a pair of diagonals per step the parity mapping is fixed —
-    set_b always holds the latest even diagonal, set_a the latest odd —
-    so the body is straight-line (no parity branches), scratch reads
-    halve, and per-step grid overhead halves.  D_total must be even
-    (square padded shapes give D = 2*Mpad).
+    With an even number of diagonals per step the parity mapping is
+    fixed — set_b always holds the latest even diagonal, set_a the
+    latest odd — so the body is straight-line (no parity branches);
+    intermediate diagonals chain value-to-value without touching
+    scratch, so per-diagonal scratch traffic and per-step grid overhead
+    both scale down with n_diag.  D_total must be a multiple of n_diag.
 
     ``daxis`` is the DP-row axis of the state planes: 1 for the long
     layout [B, Mp1] (pairs on sublanes — right when Mp1 fills the 128
@@ -172,15 +180,21 @@ def _kernel(
     g = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
     cap_shape = (shape[0], 1) if daxis == 1 else (1, shape[1])
+    # i16 is a STORAGE optimization only: the four score planes live in
+    # VMEM as int16 (halving the dominant scratch read/write traffic),
+    # but every ALU op, compare, and lane-roll runs at int32 — loads
+    # widen, stores narrow.  This sidesteps the v5e Mosaic restrictions
+    # on 16-bit vector compares/rotates that blocked the old 16-bit
+    # compute path.  Sentinel lineage is re-clamped to NEG16 so the
+    # narrowing store never wraps (legit values never reach NEG16 by
+    # the nw_i16_ok bound).
     sdt = jnp.int16 if i16 else jnp.int32
-    neg = sdt(NEG16) if i16 else NEG
+    neg = jnp.int32(NEG16) if i16 else NEG
 
     @pl.when(g == 0)
     def _init():
         # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
-        # (mask computed at the score dtype's register width — Mosaic
-        # cannot relayout i1 masks between 16- and 32-bit shapes)
-        m_b[:] = jnp.where(lane.astype(sdt) == sdt(0), sdt(0), neg)
+        m_b[:] = jnp.where(lane == 0, 0, neg).astype(sdt)
         ix_b[:] = jnp.full(shape, neg, sdt)
         iy_b[:] = jnp.full(shape, neg, sdt)
         s_b[:] = jnp.zeros(shape, jnp.int32)
@@ -190,11 +204,7 @@ def _kernel(
         cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
-        if x.dtype == jnp.int32:
-            return pltpu.roll(x, 1, daxis)
-        # Mosaic has no 16-bit rotate; round-trip through int32 (the
-        # i16 win is plane storage/bandwidth, not the rotate itself)
-        return pltpu.roll(x.astype(jnp.int32), 1, daxis).astype(x.dtype)
+        return pltpu.roll(x, 1, daxis)
 
     def cell(d1, score, match, prev, prev2):
         """One diagonal's update.
@@ -207,15 +217,15 @@ def _kernel(
         """
         pM, pIx, pIy, pS = prev
         qBest, qS = prev2
-        score = score.astype(sdt)
 
-        ix = jnp.maximum(sh(pM) - sdt(go + ge), sh(pIx) - sdt(ge))
-        iy = jnp.maximum(pM - sdt(go + ge), pIy - sdt(ge))
+        ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
+        iy = jnp.maximum(pM - (go + ge), pIy - ge)
         mnew = sh(qBest) + score
         if i16:
-            # re-clamp sentinel lineage: int16 would wrap under the
-            # per-diagonal gap decay; legit values never reach NEG16
-            # (nw_i16_ok gate), so clamping only touches sentinels
+            # re-clamp sentinel lineage: the narrowing int16 store would
+            # wrap under the per-diagonal gap decay; legit values never
+            # reach NEG16 (nw_i16_ok gate), so clamping only touches
+            # sentinels
             ix = jnp.maximum(ix, neg)
             iy = jnp.maximum(iy, neg)
             mnew = jnp.maximum(mnew, neg)
@@ -223,40 +233,21 @@ def _kernel(
         d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
         u_sel = (~d_sel) & (ix >= iy)
         m_cell = jnp.where(d_sel, mnew, jnp.where(u_sel, ix, iy))
-        if i16:
-            # the stats select runs on int32 planes; Mosaic cannot
-            # relayout i1 masks between 16- and 32-bit register shapes,
-            # so rebuild the same masks from widened operands
-            mnew32 = mnew.astype(jnp.int32)
-            ix32 = ix.astype(jnp.int32)
-            iy32 = iy.astype(jnp.int32)
-            d_sel_s = (mnew32 >= ix32) & (mnew32 >= iy32)
-            u_sel_s = (~d_sel_s) & (ix32 >= iy32)
-        else:
-            d_sel_s, u_sel_s = d_sel, u_sel
         s_cell = (
             jnp.where(
-                d_sel_s,
+                d_sel,
                 sh(qS) + (match << _LN_BITS),
-                jnp.where(u_sel_s, sh(pS), pS),
+                jnp.where(u_sel, sh(pS), pS),
             )
             + 1  # length += 1 on every move
         )
 
-        border_gap = (-go - (d1 - 1) * ge).astype(sdt)
+        border_gap = -go - (d1 - 1) * ge
         is0 = lane == 0
         isd = lane == d1
-        if i16:
-            # same mask-relayout constraint: 16-bit-layout copies for
-            # the score-plane selects, 32-bit ones for the stats plane
-            lane16 = lane.astype(jnp.int16)
-            is0_v = lane16 == jnp.int16(0)
-            isd_v = lane16 == d1.astype(jnp.int16)
-        else:
-            is0_v, isd_v = is0, isd
-        m_cell = jnp.where(is0_v | isd_v, neg, m_cell)
-        ix = jnp.where(isd_v, border_gap, jnp.where(is0_v, neg, ix))
-        iy = jnp.where(is0_v, border_gap, jnp.where(isd_v, neg, iy))
+        m_cell = jnp.where(is0 | isd, neg, m_cell)
+        ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
+        iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
         s_cell = jnp.where(is0 | isd, d1, s_cell)
         # interior: m_cell is already max(mnew, ix, iy); at borders the
         # two extra maxes fold border_gap in — this is all diagonal d1's
@@ -277,22 +268,32 @@ def _kernel(
 
         return m_cell, ix, iy, s_cell, best
 
-    packed = sd_ref[0].astype(jnp.int32)  # [2, *shape]
-    d_odd = 2 * g + 1
-    bm, bix, biy, bs = m_b[:], ix_b[:], iy_b[:], s_b[:]
-    new_odd = cell(
-        d_odd, packed[0] >> 1, packed[0] & 1,
-        (bm, bix, biy, bs), (best_a[:], s_a[:]),
-    )
-    # the even diagonal's d-2 ancestor is set_b; its best is two maxes
-    # over values already in registers (never stored)
-    best_b = jnp.maximum(bm, jnp.maximum(bix, biy))
-    new_even = cell(
-        d_odd + 1, packed[1] >> 1, packed[1] & 1,
-        new_odd[:4], (best_b, bs),
-    )
-    best_a[:], s_a[:] = new_odd[4], new_odd[3]
-    m_b[:], ix_b[:], iy_b[:], s_b[:] = new_even[:4]
+    packed = sd_ref[0].astype(jnp.int32)  # [n_diag, *shape]
+    d0 = n_diag * g
+    # loads widen int16-stored planes to the int32 compute width
+    bm = m_b[:].astype(jnp.int32)
+    bix = ix_b[:].astype(jnp.int32)
+    biy = iy_b[:].astype(jnp.int32)
+    # chain n_diag diagonals value-to-value; only the final even
+    # diagonal's full state and the final odd (best, S) touch scratch.
+    # prev = latest computed diagonal (d0 + t); prev2 = (best, S) of
+    # d0 + t - 1; prev_best = max(M, Ix, Iy) of prev (two maxes over
+    # values already live — never stored)
+    prev = (bm, bix, biy, s_b[:])
+    prev2 = (best_a[:].astype(jnp.int32), s_a[:])
+    prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
+    for t in range(n_diag):
+        new = cell(
+            d0 + t + 1, packed[t] >> 1, packed[t] & 1, prev, prev2
+        )
+        prev2 = (prev_best, prev[3])
+        prev = new[:4]
+        prev_best = new[4]
+    best_a[:], s_a[:] = prev2[0].astype(sdt), prev2[1]
+    m_b[:] = prev[0].astype(sdt)
+    ix_b[:] = prev[1].astype(sdt)
+    iy_b[:] = prev[2].astype(sdt)
+    s_b[:] = prev[3]
 
     @pl.when(g == pl.num_programs(1) - 1)
     def _emit():
@@ -333,18 +334,20 @@ def nw_similarity_batch_pallas(
     sd = _pack_score_diagonals(
         a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
     )
-    if d_total % 2:
-        # two-diagonal steps need even D; one extra zero diagonal beyond
-        # the grid is computed harmlessly (no pair's final cell lives
-        # there, so captures are unaffected)
-        sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
-        d_total += 1
+    nd = _diags_per_step()
+    pad_d = -d_total % nd
+    if pad_d:
+        # n_diag-diagonal steps need D % n_diag == 0; extra zero
+        # diagonals beyond the grid are computed harmlessly (no pair's
+        # final cell lives there, so captures are unaffected)
+        sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
+        d_total += pad_d
     alen = a_len.astype(jnp.int32).reshape(1, bsz, 1)
     fd = (a_len + b_len).astype(jnp.int32).reshape(1, bsz, 1)
 
     out = _run_kernel(
         sd[None], alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
-        interpret, score_i16,
+        interpret, score_i16, nd,
     )
     packed = out[0, :, 0]
     return NWResult(
@@ -354,7 +357,7 @@ def nw_similarity_batch_pallas(
 
 def _run_kernel(
     sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret,
-    i16=False,
+    i16=False, n_diag=2,
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
@@ -365,11 +368,12 @@ def _run_kernel(
     launch, so per-dispatch overhead is paid once per sweep, not once
     per tile.  i16 stores the four score planes as int16 (halving their
     VMEM traffic); the packed (matches, length) planes stay int32.
+    n_diag diagonals are processed per grid step (D must divide evenly).
     """
     t_tiles = sd.shape[0]
     kernel = functools.partial(
         _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis,
-        i16=i16,
+        i16=i16, n_diag=n_diag,
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (shape[0], 1) if daxis == 1 else (1, shape[1])
@@ -380,10 +384,10 @@ def _run_kernel(
     )
     return pl.pallas_call(
         kernel,
-        grid=(t_tiles, d_total // 2),
+        grid=(t_tiles, d_total // n_diag),
         in_specs=[
             pl.BlockSpec(
-                (1, 2) + shape, lambda t, g: (t, g, 0, 0),
+                (1, n_diag) + shape, lambda t, g: (t, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             vec(),
@@ -439,7 +443,8 @@ def nw_similarity_tiles_pallas(
         )
     mp1 = m + 1
     d_total = m + n
-    pad_d = d_total % 2
+    nd = _diags_per_step()
+    pad_d = -d_total % nd
 
     def pack(args):
         ai, bi = args
@@ -449,7 +454,7 @@ def nw_similarity_tiles_pallas(
         if layout == "short":
             sd = jnp.transpose(sd, (0, 2, 1))
         if pad_d:
-            sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
+            sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
         return sd
 
     sd = jax.lax.map(pack, (a_idx, b_idx))  # [T, D, *shape]
@@ -465,7 +470,7 @@ def nw_similarity_tiles_pallas(
         fd = fd.reshape(t_tiles, bsz, 1)
     out = _run_kernel(
         sd, alen, fd, shape, daxis, d_total + pad_d, gap_open, gap_ext,
-        interpret, score_i16,
+        interpret, score_i16, nd,
     )
     packed = out[:, :, 0] if daxis == 1 else out[:, 0, :]  # [T, B]
     return NWResult(
@@ -511,15 +516,17 @@ def nw_similarity_batch_pallas_short(
         a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
     )
     sd = jnp.transpose(sd, (0, 2, 1))  # [D, Mp1, B]
-    if d_total % 2:
-        sd = jnp.pad(sd, ((0, 1), (0, 0), (0, 0)))
-        d_total += 1
+    nd = _diags_per_step()
+    pad_d = -d_total % nd
+    if pad_d:
+        sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
+        d_total += pad_d
     alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
     fd = (a_len + b_len).astype(jnp.int32).reshape(1, 1, bsz)
 
     out = _run_kernel(
         sd[None], alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
-        interpret, score_i16,
+        interpret, score_i16, nd,
     )
     packed = out[0, 0, :]
     return NWResult(
