@@ -68,6 +68,71 @@ def test_consensus_gap_column():
     assert consensus_sequence(["A-ND", "A-ND", "ARND"]) == "A-ND"
 
 
+def test_consensus_identical_exact():
+    # DECIPHER golden: identical-sequence clusters -> the exact sequence
+    seqs = ["MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"] * 7
+    assert consensus_sequence(seqs) == seqs[0]
+
+
+def test_consensus_input_ambiguity_mass():
+    # input IUPAC letters split their mass: B counts toward N and D, so
+    # {N, B} collapses to B (not X)
+    assert consensus_sequence(["AN", "AB"]) == "AB"
+    assert consensus_sequence(["AQ", "AZ"]) == "AZ"
+    assert consensus_sequence(["AI", "AJ", "AL"]) == "AJ"
+    # with ambiguity=False, B counts as itself: {N, B} has no code
+    assert consensus_sequence(["AN", "AB"], ambiguity=False) == "A+"
+
+
+def test_consensus_threshold_covers_information():
+    # 19 D + 1 E: E is 5% of residue mass — within the default 5% loss
+    # budget, so the consensus is D alone
+    col = ["D"] * 19 + ["E"]
+    assert consensus_sequence(col) == "D"
+    # 18 D + 2 E: E is 10% — over budget, {D, E} is not a group -> X
+    col = ["D"] * 18 + ["E"] * 2
+    assert consensus_sequence(col) == "X"
+
+
+def test_consensus_min_information():
+    # gap mass 0.4 (not majority), residue D covers only 60% of the
+    # column: below the default min_information = 0.95 -> '+'
+    col = ["D"] * 6 + ["-"] * 4
+    assert consensus_sequence(col, include_terminal_gaps=True) == "+"
+    # an explicit lower bound accepts the column
+    assert (
+        consensus_sequence(col, include_terminal_gaps=True,
+                           min_information=0.5)
+        == "D"
+    )
+
+
+def test_consensus_terminal_gaps_excluded():
+    # trailing gaps are missing data by default: column 4 sees only the
+    # first sequence's E, which is then unanimous
+    aligned = ["ARNDE", "ARND-", "ARND-"]
+    assert consensus_sequence(aligned) == "ARNDE"
+    # counted as gaps, they dominate column 4 (2/3 > 0.5) -> '-'
+    assert (
+        consensus_sequence(aligned, include_terminal_gaps=True) == "ARND-"
+    )
+
+
+def test_consensus_all_terminal_gap_column():
+    assert consensus_sequence(["AR--", "AR--"]) == "AR--"
+
+
+def test_consensus_x_spreads_mass():
+    # X contributes 1/20 to each residue; with one X and 9 A's, A holds
+    # 9.05/9.95 ≈ 0.91 of residue mass, X's leftover pushes past the 5%
+    # loss budget only via 19 tiny shares -> consensus is X's superset: X
+    col = ["A"] * 9 + ["X"]
+    out = consensus_sequence(col)
+    assert out == "X"
+    # a laxer threshold keeps the dominant residue
+    assert consensus_sequence(col, threshold=0.12) == "A"
+
+
 def test_cluster_consensus_reference_example():
     # mock clustered matrix from the reference docs (R/clusterbreak.R:295-305)
     clustered = np.array(
