@@ -259,7 +259,98 @@ def bench_topk_large(args) -> None:
     })
 
 
+def bench_mh_full(args) -> None:
+    """Full-dataset MinHash wall-clock (the reference's only large-scale
+    harness: system.time(similarityMH(s)) on all of h3n2ha1415,
+    workspace/yulinWspc.Rmd:817-821 — results never committed)."""
+    from dynaalign_tpu import similarity_mh
+    from dynaalign_tpu.io.datasets import load_sequences
+
+    seqs = list(load_sequences("h3n2ha1415", limit=args.mh_full_limit))
+    n = len(seqs)
+    similarity_mh(seqs[: min(n, 1024)], k=4, n_hash=50, seed=0)  # warm
+    t0 = time.perf_counter()
+    sim = similarity_mh(seqs, k=4, n_hash=50, seed=0)
+    dt = time.perf_counter() - t0
+    n_pairs = n * (n - 1) // 2
+    _emit({
+        "metric": "mh_full_pairs_per_sec",
+        "value": round(n_pairs / dt, 1),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+        "n_seqs": n,
+        "mean_sim": round(float(sim.mean()), 4),
+        "total_seconds": round(dt, 2),
+    })
+
+
+def bench_bucketed_mesh(args) -> None:
+    """Bucketed + sharded NW on a mixed-length workload (SURVEY §7 hard
+    part 6).  Reports the area-weighted schedule efficiency of the
+    m_i*m_j cost model: 1.0 = every device sweeps exactly the ideal
+    share of DP area (padding batches and ndev-rounding are the only
+    losses)."""
+    import jax
+
+    from dynaalign_tpu.encode import bucket_by_length
+    from dynaalign_tpu.io.datasets import load_sequences
+    from dynaalign_tpu.parallel import (
+        make_mesh,
+        sharded_nw_allpairs_bucketed,
+    )
+
+    short = list(load_sequences("evp_peparray", limit=args.panel_limit))
+    long_ = list(load_sequences("h3n2sample", limit=args.panel_limit // 3))
+    seqs = short + long_
+    n = len(seqs)
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    batch = 256
+
+    # analytic schedule efficiency of the area cost model
+    buckets = bucket_by_length(seqs)
+    which = np.zeros(n, dtype=np.int64)
+    for b, (pos, _) in enumerate(buckets):
+        which[pos] = b
+    iu = np.triu_indices(n)
+    ideal = 0.0
+    scheduled = 0.0
+    counts: dict = {}
+    for gi, gj in zip(which[iu[0]], which[iu[1]]):
+        counts[(gi, gj)] = counts.get((gi, gj), 0) + 1
+    from dynaalign_tpu.parallel.allpairs import pick_group_batch
+
+    for (ba, bb), npairs in counts.items():
+        area = buckets[ba][1].max_len * buckets[bb][1].max_len
+        b = pick_group_batch(npairs, ndev, batch)
+        t = max(-(-npairs // b), 1)
+        t = -(-t // ndev) * ndev
+        ideal += npairs * area
+        scheduled += t * b * area
+    eff = ideal / scheduled
+
+    sub = __import__("dynaalign_tpu").blosum.get_matrix("BLOSUM62")
+    sharded_nw_allpairs_bucketed(seqs, sub, batch=batch, mesh=mesh)
+    t0 = time.perf_counter()
+    sharded_nw_allpairs_bucketed(seqs, sub, batch=batch, mesh=mesh)
+    dt = time.perf_counter() - t0
+    _emit({
+        "metric": "bucketed_mesh_schedule_efficiency",
+        "value": round(eff, 3),
+        "unit": "ideal/scheduled DP area (1.0 = no padding waste)",
+        "vs_baseline": None,
+        "n_seqs": n,
+        "n_buckets": len(buckets),
+        "pairs_per_sec": round(len(iu[0]) / dt, 1),
+        "wall_seconds": round(dt, 2),
+        "n_devices": ndev,
+        "platform": jax.devices()[0].platform,
+    })
+
+
 BENCHES = {
+    "bucketed_mesh": bench_bucketed_mesh,
+    "mh_full": bench_mh_full,
     "mh_quickstart": bench_mh_quickstart,
     "nw_h3n2": bench_nw_h3n2,
     "clusterbreak": bench_clusterbreak,
@@ -274,6 +365,7 @@ def main(argv=None) -> int:
     p.add_argument("--bench", choices=sorted(BENCHES))
     p.add_argument("--all", action="store_true")
     p.add_argument("--mh-limit", type=int, default=641)
+    p.add_argument("--mh-full-limit", type=int, default=0)
     p.add_argument("--nw-limit", type=int, default=128)
     p.add_argument("--baseline-limit", type=int, default=24)
     p.add_argument("--cb-limit", type=int, default=1000)

@@ -32,7 +32,7 @@ from .ops import (
 )
 from .ops.minhash import minhash_signatures, signature_similarity
 
-# bucket edges one below a lane multiple so (padded_len + 1) % 128 == 0
+# bucket edges one below a sublane multiple so (padded_len + 1) % 8 == 0
 # and the Pallas kernel stays eligible for every bucket-pair shape
 PALLAS_BUCKET_EDGES = (
     15, 31, 63, 127, 255, 383, 511, 639, 767, 1023, 1535, 2047
@@ -57,14 +57,21 @@ def _tiles_per_launch(
 ) -> int:
     """How many pair tiles to fold into one kernel launch.
 
-    Only the short layout stacks tiles: its per-tile kernel time is
+    Only the short regime stacks tiles: its per-tile kernel time is
     microseconds, so dispatch dominates and folding the tile loop into
-    the Pallas grid wins.  Long-layout tiles run ~10 ms each on device —
-    async per-call dispatch already overlaps launch latency there, and
-    measured e2e is faster with one tile per launch (the stacked score
-    prepass serializes ahead of the kernel instead of pipelining
-    call-over-call).
+    the Pallas grid wins.  Long-regime tiles run ~7-9 ms each on device;
+    async per-call dispatch pipelines those launches, and an A/B probe
+    (tools/probe_tc.py: tc=1 16.6k pairs/s, tc=8 14.7k, tc=11 13.7k)
+    shows stacking only adds lax.map prepass serialization there —
+    override with DYNAALIGN_NW_TC to re-probe.
     """
+    if not backend.startswith("pallas"):
+        return 1
+    import os
+
+    override = os.environ.get("DYNAALIGN_NW_TC")
+    if override:
+        return int(np.clip(int(override), 1, n_tiles))
     if backend != "pallas_short":
         return 1
     per_tile = (m + n + 1) * bsz * (m + 1)  # int8 bytes
@@ -323,19 +330,18 @@ def similarity_nw_bucketed(
         fn = _nw_pairlist_stack_fn(backend, gap_open, gap_ext, i16)
         seq_a, len_a = devs[ba]
         seq_b, len_b = devs[bb]
-        # pre-stage index stacks on device (loop-interior transfers
-        # serialize against the compute queue under the TPU relay)
-        row_dev = [
-            jnp.asarray(rows[s : s + tc])
-            for s in range(0, n_tiles, tc)
-        ]
-        col_dev = [
-            jnp.asarray(cols[s : s + tc])
-            for s in range(0, n_tiles, tc)
-        ]
+        # pre-stage ALL index stacks in one host->device transfer each
+        # (loop-interior transfers serialize against the compute queue
+        # under the TPU relay); per-launch slices are device-side
+        n_launch = n_tiles // tc
+        rows_all = jnp.asarray(rows.reshape(n_launch, tc, grp_batch))
+        cols_all = jnp.asarray(cols.reshape(n_launch, tc, grp_batch))
         pend = []
-        for rs, cs in zip(row_dev, col_dev):
-            pend.append(fn(seq_a, len_a, seq_b, len_b, sub, rs, cs))
+        for s in range(n_launch):
+            pend.append(
+                fn(seq_a, len_a, seq_b, len_b, sub, rows_all[s],
+                   cols_all[s])
+            )
         mt = np.asarray(
             jnp.concatenate([p[0].reshape(-1) for p in pend])
         )[:npairs]
@@ -385,8 +391,9 @@ def similarity_nw(
         )
         backend = "pallas_short"
     elif tpu_available() and max_len <= 4000:
-        # long fast path wants lane-aligned DP rows: (padded_len+1) % 128
-        pad_to = -(-(max_len + 1) // 128) * 128 - 1
+        # long fast path: pairs on lanes, sublane-aligned DP rows —
+        # (padded_len+1) % 8 wastes far less grid than the old % 128
+        pad_to = -(-(max_len + 1) // 8) * 8 - 1
         enc = encode(sequences, pad_to=pad_to)
         t = tile or 16  # 256 pairs/call fills the kernel's VMEM budget
         backend = "pallas"
@@ -417,20 +424,23 @@ def similarity_nw(
         enc.max_len, enc.max_len, gap_open, gap_ext, sub_np
     )
     stack_fn = _nw_tile_stack_fn(t, backend, gap_open, gap_ext, i16)
-    # pre-stage every launch's index arrays on device before the
-    # dispatch loop: a host->device transfer inside the loop costs
-    # ~15 ms under the TPU relay and serializes against the compute
-    # queue, dwarfing the kernel itself
+    # pre-stage ALL launch index arrays in ONE host->device transfer
+    # (every host->device transfer is its own RPC under the TPU relay —
+    # two small transfers per launch used to add several ms each); the
+    # per-launch slices below are device-side ops that pipeline with
+    # the kernels
     chunks = [padded[s : s + tc] for s in range(0, len(padded), tc)]
-    row_dev = [
-        jnp.asarray(block_ids[[c[0] for c in ch]]) for ch in chunks
-    ]
-    col_dev = [
-        jnp.asarray(block_ids[[c[1] for c in ch]]) for ch in chunks
-    ]
+    rows_all = jnp.asarray(
+        np.stack([block_ids[[c[0] for c in ch]] for ch in chunks])
+    )
+    cols_all = jnp.asarray(
+        np.stack([block_ids[[c[1] for c in ch]] for ch in chunks])
+    )
     pend = []
-    for k, (rs, cs) in enumerate(zip(row_dev, col_dev)):
-        pend.append(stack_fn(seq_idx, lengths, sub, rs, cs))
+    for k in range(len(chunks)):
+        pend.append(
+            stack_fn(seq_idx, lengths, sub, rows_all[k], cols_all[k])
+        )
         if progress:
             print(
                 f"nw: launch {k + 1}/{len(chunks)} ({tc} tiles each)",

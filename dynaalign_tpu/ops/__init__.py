@@ -28,24 +28,22 @@ def pick_nw_backend(
 ) -> str:
     """Choose the NW kernel implementation for padded lengths (m, n).
 
-    "pallas_short" (pairs on the lane axis) wins for peptide-scale DP
-    grids: it wants (m+1) % 8 == 0 sublane alignment and a batch that is
-    a multiple of 128 lanes.  "pallas" (pairs on sublanes) wants
-    lane-aligned rows, (m+1) % 128 == 0.  Everything else (CPU tests,
-    very long sequences) takes the XLA scan path, which is
-    bit-identical.
+    Both Pallas names map to the same pairs-on-lanes kernel (sublane
+    alignment (m+1) % 8 == 0; batch ideally a multiple of 128 lanes);
+    they differ only in how callers size pair batches ("pallas_short"
+    signals the peptide-scale regime, where much larger batches fit the
+    VMEM cell budget).  Everything else (CPU tests, very long
+    sequences) takes the XLA scan path, which is bit-identical.
     """
     if backend != "auto":
         return backend
-    if tpu_available() and m + n < (1 << 13):
-        if (
-            m <= 127
-            and (m + 1) % 8 == 0
-            and (bsz is None or bsz % 128 == 0)
-        ):
-            return "pallas_short"
-        if (m + 1) % 128 == 0 and (n + 1) % 128 == 0:
-            return "pallas"
+    if (
+        tpu_available()
+        and m + n < (1 << 13)
+        and (m + 1) % 8 == 0
+        and (bsz is None or bsz % 128 == 0)
+    ):
+        return "pallas_short" if m <= 127 else "pallas"
     return "scan"
 
 

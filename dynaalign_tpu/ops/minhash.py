@@ -32,7 +32,9 @@ import numpy as np
 from ..utils.mt19937 import hash_family_seeds
 from .murmur3 import murmur3_kmer_hashes
 
-_UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a device constant at import time would
+# initialise the XLA backend before jax.distributed.initialize() can run
+_UINT32_MAX = np.uint32(0xFFFFFFFF)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

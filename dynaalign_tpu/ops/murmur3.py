@@ -16,13 +16,17 @@ in little-endian order, so hashes match the C++ oracle exactly for any k.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
-_MIX1 = jnp.uint32(0x85EBCA6B)
-_MIX2 = jnp.uint32(0xC2B2AE35)
-_M5 = jnp.uint32(5)
-_N = jnp.uint32(0xE6546B64)
+# numpy scalars, NOT jnp: creating device arrays at import time would
+# initialise the XLA backend before jax.distributed.initialize() can run
+# (parallel.distributed_init must be callable after `import dynaalign_tpu`)
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_MIX1 = np.uint32(0x85EBCA6B)
+_MIX2 = np.uint32(0xC2B2AE35)
+_M5 = np.uint32(5)
+_N = np.uint32(0xE6546B64)
 
 
 def _rotl(x: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -33,10 +33,14 @@ bit-exact percent identity), engineered for the chip:
   instead of 8, and one lane-roll for the diagonal ancestor instead of
   three.
 
-Shapes: lanes = Mp1 (DP row index; pad M so Mp1 is a multiple of 128 for
-full-lane tiles), sublanes = B (pair batch).  The per-pair result is
-captured on the fly at each pair's final cell and written on the last
-grid step.
+Shapes: lanes = B (pair batch; keep it a multiple of 128 for full-lane
+vregs), sublanes = Mp1 (DP row index; pad M so Mp1 is a multiple of 8).
+Pairs ride the lane axis for EVERY length regime: the score prepass can
+then keep the pair axis minor end-to-end (no minor-axis transpose of the
+~200 MB diagonal tensor — that transpose used to cost 3.5x the DP kernel
+itself), and the sublane-axis padding constraint (8) wastes far less DP
+grid than the old lane-axis one (128).  The per-pair result is captured
+on the fly at each pair's final cell and written on the last grid step.
 """
 
 from __future__ import annotations
@@ -64,7 +68,12 @@ _LN_MASK = (1 << _LN_BITS) - 1
 
 
 def _diags_per_step() -> int:
-    """Anti-diagonals processed per grid step (even; probe-tunable)."""
+    """Anti-diagonals processed per grid step (even; probe-tunable).
+
+    Probes show per-diagonal cost is flat from 2 to 8
+    (tools/probe_i16.py); 2 keeps the double-buffered score block
+    smallest.
+    """
     return int(os.environ.get("DYNAALIGN_NW_DIAGS", "2"))
 
 
@@ -74,10 +83,10 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     i16 is storage-only: scratch planes are stored int16 (halving the
     dominant VMEM scratch traffic) while all ALU ops, compares and
     lane-rolls run at int32 — loads widen, stores narrow — so none of
-    the v5e Mosaic 16-bit vector-op restrictions apply.  Opt-in via
-    DYNAALIGN_NW_I16=1 while it is being qualified on real hardware;
-    the gate below is the provable-overflow bound under which the
-    narrowing store cannot wrap.
+    the v5e Mosaic 16-bit vector-op restrictions apply.  Qualified
+    bit-exact on the real v5e chip (tools/probe_i16.py, round 2) and on
+    by default wherever the provable-overflow bound below holds; set
+    DYNAALIGN_NW_I16=0 to force the int32 planes.
 
     Any legit DP value is a sum over at most m+n moves, each costing at
     least -(gap_open+gap_ext) (a gap open; extends cost less) or at
@@ -89,7 +98,7 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     """
     import os
 
-    if os.environ.get("DYNAALIGN_NW_I16") != "1":
+    if os.environ.get("DYNAALIGN_NW_I16", "1") == "0":
         return False
     sub = np.asarray(sub)
     smax = int(np.max(np.abs(sub)))
@@ -108,10 +117,27 @@ def _pack_score_diagonals(
     b_idx: jnp.ndarray,  # int32 [B, N]
     sub: jnp.ndarray,  # int32 [32, 32]
 ) -> jnp.ndarray:
-    """int8 [D, B, Mp1] anti-diagonal-major packed (2*score + match).
+    """int8 [D, Mp1, B] anti-diagonal-major packed (2*score + match).
 
-    Lane i of diagonal-block d holds cell (i, j=d+1-i)'s substitution
-    score and char-equality bit; out-of-grid lanes read zeros.
+    Sublane i of diagonal-block d holds cell (i, j=d+1-i)'s substitution
+    score and char-equality bit for every pair on the lane axis;
+    out-of-grid cells read zeros.
+
+    HBM-bandwidth-critical tricks (this prepass used to cost 3.5x the DP
+    kernel itself, tools/profile_nw_long.py):
+
+    * the pair axis B stays the MINOR axis end-to-end — the einsum emits
+      [M, N, B] directly and the skew's final transpose swaps only the
+      two MAJOR axes, so no minor-axis (lane) transpose of the ~200 MB
+      tensor ever happens.  (Returning the skew's natural [Mp1, D, B]
+      with the kernel slicing D mid-axis was probed too: it avoids even
+      the major-axis transpose but blows Mosaic compile time from ~2 min
+      to >15 min per shape — not worth it.)
+    * the match bit is folded into the substitution lookup: with
+      sub2 = 2*sub + I both one-hot matmuls compute 2*score + match in
+      one pass (every product has a single non-zero term and |2s+1| <=
+      63, exact in bf16), so the [M, N, B] match tensor is never
+      materialized.
     """
     bsz, m = a_idx.shape
     n = b_idx.shape[1]
@@ -120,29 +146,28 @@ def _pack_score_diagonals(
 
     oa = jax.nn.one_hot(a_idx, 32, dtype=jnp.bfloat16)  # [B, M, 32]
     ob = jax.nn.one_hot(b_idx, 32, dtype=jnp.bfloat16)  # [B, N, 32]
+    sub2 = (2 * sub + jnp.eye(32, dtype=sub.dtype)).astype(jnp.bfloat16)
     rows = jnp.einsum(
-        "bmk,kl->bml", oa, sub.astype(jnp.bfloat16),
+        "bmk,kl->bml", oa, sub2,
         preferred_element_type=jnp.bfloat16,
     )
-    scores = jnp.einsum(
-        "bml,bnl->bmn", rows, ob, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-    match = (a_idx[:, :, None] == b_idx[:, None, :]).astype(jnp.int32)
-    packed = (scores * 2 + match).astype(jnp.int8)  # [B, M, N]
+    packed = jnp.einsum(
+        "bml,bnl->mnb", rows, ob, preferred_element_type=jnp.bfloat16
+    ).astype(jnp.int8)  # [M, N, B] = 2*score + match
 
-    # leading zero row (lane 0 = border row) + right-pad to width W
-    x = jnp.pad(packed, ((0, 0), (1, 0), (0, w - n)))  # [B, Mp1, W]
-    flat = x.reshape(bsz, mp1 * w)
-    skew = flat[:, : mp1 * (w - 1)].reshape(bsz, mp1, w - 1)
-    # skew[b, i, d] == x[b, i, d - i]  (zeros when d < i or d-i >= N)
-    return jnp.transpose(skew, (2, 0, 1))  # [D = M+N, B, Mp1]
+    # leading zero row (sublane 0 = border row) + pad to width W
+    x = jnp.pad(packed, ((1, 0), (0, w - n), (0, 0)))  # [Mp1, W, B]
+    flat = x.reshape(mp1 * w, bsz)
+    skew = flat[: mp1 * (w - 1)].reshape(mp1, w - 1, bsz)
+    # skew[i, d, b] == x[i, d - i, b]  (zeros when d < i or d-i >= N)
+    return jnp.transpose(skew, (1, 0, 2))  # [D, Mp1, B], minor intact
 
 
 def _kernel(
-    sd_ref,  # int8 [2, B, Mp1] — packed scores of diagonals 2g+1, 2g+2
-    alen_ref,  # int32 [B, 1]
-    fd_ref,  # int32 [B, 1] — final diagonal (m + n) per pair
-    out_ref,  # int32 [B, 1] — packed (matches << 13 | length)
+    sd_ref,  # int8 [1, n_diag, Mp1, B] — packed scores of the step's diagonals
+    alen_ref,  # int32 [1, B]
+    fd_ref,  # int32 [1, B] — final diagonal (m + n) per pair
+    out_ref,  # int32 [1, B] — packed (matches << 13 | length)
     # scratch: odd set (a) keeps only (best, S); even set (b) keeps the
     # full (M, Ix, Iy, S); capture accumulator
     best_a, s_a,
@@ -151,12 +176,11 @@ def _kernel(
     *,
     go: int,
     ge: int,
-    shape: tuple,
-    daxis: int,
+    shape: tuple,  # (Mp1, B): DP rows on sublanes, pairs on lanes
     i16: bool = False,
     n_diag: int = 2,
 ):
-    """``n_diag`` anti-diagonals per grid step; DP-row axis parametric.
+    """``n_diag`` anti-diagonals per grid step.
 
     With an even number of diagonals per step the parity mapping is
     fixed — set_b always holds the latest even diagonal, set_a the
@@ -165,21 +189,21 @@ def _kernel(
     scratch, so per-diagonal scratch traffic and per-step grid overhead
     both scale down with n_diag.  D_total must be a multiple of n_diag.
 
-    ``daxis`` is the DP-row axis of the state planes: 1 for the long
-    layout [B, Mp1] (pairs on sublanes — right when Mp1 fills the 128
-    lanes), 0 for the short layout [Mp1, B] (pairs on lanes — right for
-    peptide-scale DP grids, where Mp1 would waste >80% of each vreg).
+    State planes are [Mp1, B]: pairs ride the 128-lane axis, DP rows the
+    sublane axis.  The score input block is a [n_diag, Mp1, B] slice of
+    the [D, Mp1, B] prepass output — diagonal-major, minor axis (pairs)
+    matching the state planes.
 
-    The grid is (T, D/2): axis 0 sweeps independent pair tiles within
-    ONE kernel launch (the TPU grid runs sequentially, so scratch is
-    re-initialised per tile at g == 0 and the per-tile result emitted at
-    the last diagonal step) — this amortises the per-launch dispatch
-    cost, which dominates end-to-end all-pairs time, across the whole
-    tile sweep.
+    The grid is (T, D/n_diag): axis 0 sweeps independent pair tiles
+    within ONE kernel launch (the TPU grid runs sequentially, so scratch
+    is re-initialised per tile at g == 0 and the per-tile result emitted
+    at the last diagonal step), amortising per-launch dispatch cost
+    across the whole tile sweep.
     """
     g = pl.program_id(1)
+    daxis = 0
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
-    cap_shape = (shape[0], 1) if daxis == 1 else (1, shape[1])
+    cap_shape = (1, shape[1])
     # i16 is a STORAGE optimization only: the four score planes live in
     # VMEM as int16 (halving the dominant scratch read/write traffic),
     # but every ALU op, compare, and lane-roll runs at int32 — loads
@@ -268,7 +292,7 @@ def _kernel(
 
         return m_cell, ix, iy, s_cell, best
 
-    packed = sd_ref[0].astype(jnp.int32)  # [n_diag, *shape]
+    packed = sd_ref[0].astype(jnp.int32)  # [n_diag, Mp1, B]
     d0 = n_diag * g
     # loads widen int16-stored planes to the int32 compute width
     bm = m_b[:].astype(jnp.int32)
@@ -283,9 +307,8 @@ def _kernel(
     prev2 = (best_a[:].astype(jnp.int32), s_a[:])
     prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
     for t in range(n_diag):
-        new = cell(
-            d0 + t + 1, packed[t] >> 1, packed[t] & 1, prev, prev2
-        )
+        pk = packed[t]
+        new = cell(d0 + t + 1, pk >> 1, pk & 1, prev, prev2)
         prev2 = (prev_best, prev[3])
         prev = new[:4]
         prev_best = new[4]
@@ -320,6 +343,13 @@ def nw_similarity_batch_pallas(
 
     Bit-identical to ops.nw.nw_similarity_batch (checked in
     tests/test_nw_pallas.py); use interpret=True off-TPU.
+
+    Layout: pairs ride the 128-lane axis and DP rows the sublane axis
+    for every sequence length — the prepass then never transposes the
+    minor axis (the old [B, Mp1] long layout spent 3.5x the kernel's
+    time re-laying out score diagonals), and padding only needs
+    (m+1) % 8 == 0 instead of % 128.  Wants B % 128 == 0 for full-lane
+    vregs.
     """
     bsz, m = a_idx.shape
     n = b_idx.shape[1]
@@ -342,41 +372,40 @@ def nw_similarity_batch_pallas(
         # final cell lives there, so captures are unaffected)
         sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
         d_total += pad_d
-    alen = a_len.astype(jnp.int32).reshape(1, bsz, 1)
-    fd = (a_len + b_len).astype(jnp.int32).reshape(1, bsz, 1)
+    alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(1, 1, bsz)
 
     out = _run_kernel(
-        sd[None], alen, fd, (bsz, mp1), 1, d_total, gap_open, gap_ext,
+        sd[None], alen, fd, (mp1, bsz), d_total, gap_open, gap_ext,
         interpret, score_i16, nd,
     )
-    packed = out[0, :, 0]
+    packed = out[0, 0, :]
     return NWResult(
         matches=packed >> _LN_BITS, length=packed & _LN_MASK
     )
 
 
 def _run_kernel(
-    sd, alen, fd, shape, daxis, d_total, gap_open, gap_ext, interpret,
+    sd, alen, fd, shape, d_total, gap_open, gap_ext, interpret,
     i16=False, n_diag=2,
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
-    sd: [T, D, *shape] packed score diagonals; alen/fd: [T, *vshape];
-    returns [T, *vshape].  shape = state-plane shape; daxis = DP-row
-    axis (vshape carries the pair axis with a singleton DP-row side).
-    The T axis runs whole independent pair tiles back-to-back inside one
-    launch, so per-dispatch overhead is paid once per sweep, not once
-    per tile.  i16 stores the four score planes as int16 (halving their
-    VMEM traffic); the packed (matches, length) planes stay int32.
-    n_diag diagonals are processed per grid step (D must divide evenly).
+    sd: [T, D, Mp1, B] packed score diagonals; alen/fd: [T, 1, B];
+    returns [T, 1, B].  shape = (Mp1, B) state-plane shape.  The T axis
+    runs whole independent pair tiles back-to-back inside one launch, so
+    per-dispatch overhead is paid once per sweep, not once per tile.
+    i16 stores the four score planes as int16 (halving their VMEM
+    traffic); the packed (matches, length) planes stay int32.  n_diag
+    diagonals are processed per grid step (D must divide evenly).
     """
     t_tiles = sd.shape[0]
     kernel = functools.partial(
-        _kernel, go=gap_open, ge=gap_ext, shape=shape, daxis=daxis,
+        _kernel, go=gap_open, ge=gap_ext, shape=shape,
         i16=i16, n_diag=n_diag,
     )
     sdt = jnp.int16 if i16 else jnp.int32
-    vshape = (shape[0], 1) if daxis == 1 else (1, shape[1])
+    vshape = (1, shape[1])
     score_plane = lambda: pltpu.VMEM(shape, sdt)  # noqa: E731
     stat_plane = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
     vec = lambda: pl.BlockSpec(  # noqa: E731
@@ -387,7 +416,8 @@ def _run_kernel(
         grid=(t_tiles, d_total // n_diag),
         in_specs=[
             pl.BlockSpec(
-                (1, n_diag) + shape, lambda t, g: (t, g, 0, 0),
+                (1, n_diag) + shape,
+                lambda t, g: (t, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             vec(),
@@ -431,9 +461,12 @@ def nw_similarity_tiles_pallas(
     End-to-end all-pairs time is dominated by per-launch dispatch cost
     (each launch pays a host->device RPC); folding the tile loop into
     the Pallas grid amortises it across the whole sweep.  The score
-    prepass runs under ``lax.map`` so its [B, M, N] intermediates stay
-    per-tile.  Returns [T, B] (matches, length).
+    prepass runs under ``lax.map`` so its [M, N, B] intermediates stay
+    per-tile.  ``layout`` is kept for API compatibility; every length
+    regime now uses the pairs-on-lanes layout (see
+    nw_similarity_batch_pallas).  Returns [T, B] (matches, length).
     """
+    del layout  # single layout since the minor-axis-preserving prepass
     t_tiles, bsz, m = a_idx.shape
     n = b_idx.shape[2]
     if m + n >= (1 << _LN_BITS):
@@ -451,28 +484,18 @@ def nw_similarity_tiles_pallas(
         sd = _pack_score_diagonals(
             ai.astype(jnp.int32), bi.astype(jnp.int32), sub
         )
-        if layout == "short":
-            sd = jnp.transpose(sd, (0, 2, 1))
         if pad_d:
             sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
         return sd
 
-    sd = jax.lax.map(pack, (a_idx, b_idx))  # [T, D, *shape]
-    alen = a_len.astype(jnp.int32)
-    fd = (a_len + b_len).astype(jnp.int32)
-    if layout == "short":
-        shape, daxis = (mp1, bsz), 0
-        alen = alen.reshape(t_tiles, 1, bsz)
-        fd = fd.reshape(t_tiles, 1, bsz)
-    else:
-        shape, daxis = (bsz, mp1), 1
-        alen = alen.reshape(t_tiles, bsz, 1)
-        fd = fd.reshape(t_tiles, bsz, 1)
+    sd = jax.lax.map(pack, (a_idx, b_idx))  # [T, D, Mp1, B]
+    alen = a_len.astype(jnp.int32).reshape(t_tiles, 1, bsz)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
-        sd, alen, fd, shape, daxis, d_total + pad_d, gap_open, gap_ext,
+        sd, alen, fd, (mp1, bsz), d_total + pad_d, gap_open, gap_ext,
         interpret, score_i16, nd,
     )
-    packed = out[:, :, 0] if daxis == 1 else out[:, 0, :]  # [T, B]
+    packed = out[:, 0, :]  # [T, B]
     return NWResult(
         matches=packed >> _LN_BITS, length=packed & _LN_MASK
     )
@@ -494,41 +517,17 @@ def nw_similarity_batch_pallas_short(
     interpret: bool = False,
     score_i16: bool = False,
 ) -> NWResult:
-    """Short-sequence fast path: pairs ride the 128-lane axis.
+    """Alias of :func:`nw_similarity_batch_pallas` (kept for callers that
+    select the peptide-scale batch sizing by name).
 
-    For peptide-scale grids (M+1 ≤ ~128) the long layout leaves most of
-    every vreg idle; transposing the state planes to [Mp1, B] makes each
-    diagonal update a full-width VPU op over thousands of pairs.  Wants
-    (M+1) % 8 == 0 (sublane tile) and B % 128 == 0 (lane tile).
+    Historically the "short" kernel was the only pairs-on-lanes layout;
+    the minor-axis-preserving prepass made that layout optimal for every
+    length regime, so both entry points now share one implementation.
+    Wants (M+1) % 8 == 0 (sublane tile) and B % 128 == 0 (lane tile).
     Bit-identical to the scan backend (tests/test_nw_pallas.py).
     """
-    bsz, m = a_idx.shape
-    n = b_idx.shape[1]
-    if m + n >= (1 << _LN_BITS):
-        raise ValueError(
-            f"padded m+n = {m + n} exceeds packed-length budget "
-            f"{(1 << _LN_BITS) - 1}; use ops.nw.nw_similarity_batch"
-        )
-    mp1 = m + 1
-    d_total = m + n
-
-    sd = _pack_score_diagonals(
-        a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
-    )
-    sd = jnp.transpose(sd, (0, 2, 1))  # [D, Mp1, B]
-    nd = _diags_per_step()
-    pad_d = -d_total % nd
-    if pad_d:
-        sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
-        d_total += pad_d
-    alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
-    fd = (a_len + b_len).astype(jnp.int32).reshape(1, 1, bsz)
-
-    out = _run_kernel(
-        sd[None], alen, fd, (mp1, bsz), 0, d_total, gap_open, gap_ext,
-        interpret, score_i16, nd,
-    )
-    packed = out[0, 0, :]
-    return NWResult(
-        matches=packed >> _LN_BITS, length=packed & _LN_MASK
+    return nw_similarity_batch_pallas(
+        a_idx, a_len, b_idx, b_len, sub,
+        gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
+        score_i16=score_i16,
     )

@@ -8,5 +8,6 @@ from .mesh import (  # noqa: F401
 from .allpairs import (  # noqa: F401
     sharded_minhash_similarity,
     sharded_nw_allpairs,
+    sharded_nw_allpairs_bucketed,
     sharded_signature_agreement,
 )

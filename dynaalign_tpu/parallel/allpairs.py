@@ -38,6 +38,7 @@ __all__ = [
     "sharded_signature_agreement",
     "sharded_minhash_similarity",
     "sharded_nw_allpairs",
+    "sharded_nw_allpairs_bucketed",
 ]
 
 
@@ -48,6 +49,45 @@ def _pad_rows(arr: np.ndarray, multiple: int, fill=0) -> np.ndarray:
         return arr
     pad_width = [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, pad_width, constant_values=fill)
+
+
+def _put(arr, mesh: Mesh, spec: P):
+    """device_put with an explicit (possibly multi-process) sharding.
+
+    Under ``jax.distributed`` the mesh spans non-addressable devices;
+    host values are identical on every process (sequences are
+    replicated per SURVEY.md §5), so each process materializes just its
+    addressable shards.
+    """
+    return jax.device_put(
+        arr, jax.sharding.NamedSharding(mesh, spec)
+    )
+
+
+def pick_group_batch(npairs: int, ndev: int, max_batch: int) -> int:
+    """Pair-batch size for one bucket-pair group: the largest candidate
+    that minimises padded slots (the grid quantum is ndev * batch pairs,
+    so small groups take smaller batches)."""
+
+    def slots(b):
+        return -(-npairs // (ndev * b)) * ndev * b
+
+    cands = [
+        b for b in (256, 128, 64, 32) if b <= max_batch
+    ] or [max_batch]
+    best = min(slots(b) for b in cands)
+    return next(b for b in cands if slots(b) == best)
+
+
+def _fetch_global(x) -> np.ndarray:
+    """Fetch a (possibly cross-process) sharded array to host numpy."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)
+        )
+    return np.asarray(x)
 
 
 def sharded_signature_agreement(
@@ -85,8 +125,11 @@ def sharded_signature_agreement(
         in_specs=(P(ROWS, None), P(COLS, None)),
         out_specs=P(ROWS, COLS),
     )
-    out = jax.jit(fn)(jnp.asarray(padded), jnp.asarray(padded))
-    return np.asarray(out)[:n, :n]
+    out = jax.jit(fn)(
+        _put(padded, mesh, P(ROWS, None)),
+        _put(padded, mesh, P(COLS, None)),
+    )
+    return _fetch_global(out)[:n, :n]
 
 
 def sharded_minhash_similarity(
@@ -110,14 +153,13 @@ def sharded_minhash_similarity(
     padded_tokens = _pad_rows(np.asarray(ascii_tokens, np.uint8), ndev)
     padded_lengths = _pad_rows(np.asarray(lengths, np.int32), ndev)
     flat = Mesh(mesh.devices.reshape(-1), ("seq",))
-    sharding = jax.sharding.NamedSharding(flat, P("seq"))
-    tok_dev = jax.device_put(padded_tokens, sharding)
-    len_dev = jax.device_put(padded_lengths, sharding)
+    tok_dev = _put(padded_tokens, flat, P("seq"))
+    len_dev = _put(padded_lengths, flat, P("seq"))
     sigs = minhash_signatures(
         tok_dev, len_dev, k=k, n_hash=n_hash, seed=seed,
         chunk=max(padded_tokens.shape[0], 1),
     )
-    sigs = np.asarray(sigs)[:n]
+    sigs = _fetch_global(sigs)[:n]
     counts = sharded_signature_agreement(sigs, mesh)
     sims = counts.astype(np.float64) / float(n_hash)
     np.fill_diagonal(sims, 1.0)
@@ -222,12 +264,13 @@ def sharded_nw_allpairs(
     tile_rows = ids.reshape(nb, tile)[t_arr[:, 0]]
     tile_cols = ids.reshape(nb, tile)[t_arr[:, 1]]
 
+    flat = Mesh(mesh.devices.reshape(-1), ("d",))
     mt, ln = _nw_tiles_sharded(
-        jnp.asarray(seq_idx, jnp.int32),
-        jnp.asarray(lengths, jnp.int32),
-        jnp.asarray(sub, jnp.int32),
-        jnp.asarray(tile_rows),
-        jnp.asarray(tile_cols),
+        _put(np.asarray(seq_idx, np.int32), flat, P()),
+        _put(np.asarray(lengths, np.int32), flat, P()),
+        _put(np.asarray(sub, np.int32), flat, P()),
+        _put(tile_rows, flat, P("d")),
+        _put(tile_cols, flat, P("d")),
         mesh=mesh,
         tile=tile,
         gap_open=gap_open,
@@ -236,8 +279,8 @@ def sharded_nw_allpairs(
             seq_idx.shape[1], seq_idx.shape[1], backend
         ),
     )
-    mt = np.asarray(mt)[inv_order]
-    ln = np.asarray(ln)[inv_order]
+    mt = _fetch_global(mt)[inv_order]
+    ln = _fetch_global(ln)[inv_order]
 
     matches = np.zeros((nb * tile, nb * tile), dtype=np.int64)
     length = np.zeros_like(matches)
@@ -255,3 +298,171 @@ def sharded_nw_allpairs(
     sims[iu] = vals
     sims.T[iu] = vals
     return sims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "batch", "gap_open", "gap_ext", "backend"),
+)
+def _nw_pairs_sharded(
+    seq_a: jnp.ndarray,  # int32 [Na, La] (replicated)
+    len_a: jnp.ndarray,  # int32 [Na]
+    seq_b: jnp.ndarray,  # int32 [Nb, Lb]
+    len_b: jnp.ndarray,  # int32 [Nb]
+    sub: jnp.ndarray,  # int32 [32, 32]
+    rows: jnp.ndarray,  # int32 [T, batch] row ids per pair batch
+    cols: jnp.ndarray,  # int32 [T, batch]
+    *,
+    mesh: Mesh,
+    batch: int,
+    gap_open: int,
+    gap_ext: int,
+    backend: str,
+):
+    """Sweep T explicit-pair batches over the flattened mesh; T % ndev == 0.
+
+    Returns (matches, length) int32 [T, batch].
+    """
+
+    def device_fn(sa, la, sb, lb, submat, r, c):
+        def one(args):
+            rr, cc = args
+            res = nw_batch(
+                jnp.take(sa, rr, axis=0), jnp.take(la, rr),
+                jnp.take(sb, cc, axis=0), jnp.take(lb, cc), submat,
+                gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+            )
+            return res.matches, res.length
+
+        return jax.lax.map(one, (r, c))
+
+    flat = Mesh(mesh.devices.reshape(-1), ("d",))
+    fn = shard_map(
+        device_fn,
+        mesh=flat,
+        in_specs=(P(), P(), P(), P(), P(), P("d"), P("d")),
+        out_specs=(P("d"), P("d")),
+        check_vma=False,
+    )
+    return fn(seq_a, len_a, seq_b, len_b, sub, rows, cols)
+
+
+def sharded_nw_allpairs_bucketed(
+    sequences,
+    sub: np.ndarray,
+    *,
+    bucket_edges=None,
+    batch: int = 256,
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    mesh: Mesh | None = None,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Length-bucketed all-pairs NW on a device mesh (SURVEY.md §7 hard
+    part 6: schedule pair work by its m_i*m_j area cost, not worst-case
+    padding).
+
+    Sequences are grouped into padded length buckets; every (bucket_a,
+    bucket_b) pair group is computed at its own padded shape and its
+    pair batches are round-robined across the flattened mesh.  Within a
+    group every batch costs the same (equal padded area), so each
+    group's sweep is load-balanced by construction; groups are processed
+    largest-area-first so the expensive shapes overlap compile/dispatch
+    of the cheap ones.  Bit-identical to api.similarity_nw (orientation
+    preserved: the smaller global index is sequence1,
+    src/pairwiseSeqAlign.cpp:340-343).
+
+    Returns float64 [N, N].
+    """
+    from ..encode import bucket_by_length
+
+    seqs = list(sequences)
+    n = len(seqs)
+    if n == 0:
+        raise ValueError("Input sequences vector cannot be empty")
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    flat = Mesh(mesh.devices.reshape(-1), ("d",))
+    kwargs = {} if bucket_edges is None else {
+        "bucket_edges": tuple(bucket_edges)
+    }
+    buckets = bucket_by_length(seqs, **kwargs)
+    which = np.zeros(n, dtype=np.int64)
+    local = np.zeros(n, dtype=np.int64)
+    devs = []
+    for b, (pos, enc_b) in enumerate(buckets):
+        which[pos] = b
+        local[pos] = np.arange(len(pos))
+        devs.append((
+            _put(np.asarray(enc_b.indices, np.int32), flat, P()),
+            _put(np.asarray(enc_b.lengths, np.int32), flat, P()),
+        ))
+    sub_dev = _put(np.asarray(sub, np.int32), flat, P())
+
+    iu = np.triu_indices(n)  # ordered pairs incl. diagonal
+    groups: dict[tuple[int, int], list[int]] = {}
+    for p, (gi, gj) in enumerate(zip(iu[0], iu[1])):
+        groups.setdefault(
+            (int(which[gi]), int(which[gj])), []
+        ).append(p)
+
+    # largest padded area first (m_i * m_j cost model)
+    def area(key):
+        ba, bb = key
+        return buckets[ba][1].max_len * buckets[bb][1].max_len
+
+    matches = np.zeros((n, n), dtype=np.int64)
+    length = np.zeros((n, n), dtype=np.int64)
+    pending = []
+    for key in sorted(groups, key=area, reverse=True):
+        ba, bb = key
+        plist = groups[key]
+        gi = iu[0][plist]
+        gj = iu[1][plist]
+        rows = local[gi].astype(np.int32)
+        cols = local[gj].astype(np.int32)
+        npairs = len(rows)
+        # whole [T, batch] grid with T a device multiple (padding pairs
+        # recompute pair 0 of the group — cheap, discarded).  The batch
+        # size is chosen per group to minimise padded slots: the grid
+        # quantum is ndev * batch_g pairs, so small groups take smaller
+        # batches (each batch size is one extra compiled shape, but the
+        # candidate set is tiny and shared across groups).
+        batch_g = pick_group_batch(npairs, ndev, batch)
+        t_batches = max(-(-npairs // batch_g), 1)
+        t_batches = -(-t_batches // ndev) * ndev
+        pad = t_batches * batch_g
+        rows = np.pad(rows, (0, pad - npairs)).reshape(
+            t_batches, batch_g
+        )
+        cols = np.pad(cols, (0, pad - npairs)).reshape(
+            t_batches, batch_g
+        )
+        # interleave so each device gets an even spread
+        order = np.argsort(
+            np.arange(t_batches) % ndev, kind="stable"
+        )
+        inv_order = np.argsort(order, kind="stable")
+        seq_a, len_a = devs[ba]
+        seq_b, len_b = devs[bb]
+        m_a = buckets[ba][1].max_len
+        m_b = buckets[bb][1].max_len
+        mt, ln = _nw_pairs_sharded(
+            seq_a, len_a, seq_b, len_b, sub_dev,
+            _put(rows[order], flat, P("d")),
+            _put(cols[order], flat, P("d")),
+            mesh=mesh, batch=batch_g, gap_open=gap_open,
+            gap_ext=gap_ext,
+            backend=pick_nw_backend(m_a, m_b, backend, bsz=batch_g),
+        )
+        pending.append((gi, gj, npairs, inv_order, mt, ln))
+    for gi, gj, npairs, inv_order, mt, ln in pending:
+        mt = _fetch_global(mt)[inv_order].reshape(-1)[:npairs]
+        ln = _fetch_global(ln)[inv_order].reshape(-1)[:npairs]
+        matches[gi, gj] = mt
+        length[gi, gj] = ln
+        matches[gj, gi] = mt
+        length[gj, gi] = ln
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return matches.astype(np.float64) / length

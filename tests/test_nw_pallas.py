@@ -101,9 +101,10 @@ def test_i16_eligibility_gate(monkeypatch):
     from dynaalign_tpu.ops import nw_i16_ok
 
     sub = blosum.get_matrix("BLOSUM62")
-    # off by default (the v5e Mosaic toolchain lacks int16 compares)
+    # qualified on-chip (round 2): on by default, env var is an opt-out
+    monkeypatch.setenv("DYNAALIGN_NW_I16", "0")
     assert not nw_i16_ok(639, 639, 10, 4, sub)
-    monkeypatch.setenv("DYNAALIGN_NW_I16", "1")
+    monkeypatch.delenv("DYNAALIGN_NW_I16")
     # h3n2-scale config with defaults: provably safe
     assert nw_i16_ok(639, 639, 10, 4, sub)
     # peptide-scale: safe

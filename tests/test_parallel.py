@@ -63,3 +63,32 @@ def test_sharded_nw_small_mesh(make_seqs):
     )
     ref = oracle.nw_similarity(seqs)
     np.testing.assert_array_equal(sims, ref)
+
+
+def test_sharded_nw_bucketed_mixed_lengths(make_seqs):
+    """Bucketed + sharded composition (SURVEY §7 hard part 6): mixed
+    12-mer / long-protein panels must stay bit-exact while every pair
+    group runs at its own bucket-pair padded shape."""
+    from dynaalign_tpu import blosum, oracle
+    from dynaalign_tpu.parallel import sharded_nw_allpairs_bucketed
+
+    short = make_seqs(14, 10, 14)
+    long_ = make_seqs(9, 50, 90)
+    seqs = [s for pair in zip(short, long_ + long_[:5]) for s in pair]
+    got = sharded_nw_allpairs_bucketed(
+        seqs, blosum.get_matrix("BLOSUM62"),
+        bucket_edges=(15, 31, 63, 127), batch=32,
+    )
+    want = oracle.nw_similarity(seqs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_nw_bucketed_single_bucket(make_seqs):
+    from dynaalign_tpu import blosum, oracle
+    from dynaalign_tpu.parallel import sharded_nw_allpairs_bucketed
+
+    seqs = make_seqs(10, 20, 30)
+    got = sharded_nw_allpairs_bucketed(
+        seqs, blosum.get_matrix("BLOSUM62"), batch=16
+    )
+    np.testing.assert_array_equal(got, oracle.nw_similarity(seqs))
