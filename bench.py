@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "128"))
+N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "256"))
 N_BASELINE = int(os.environ.get("BENCH_BASELINE_SEQS", "24"))
 
 
@@ -71,6 +71,23 @@ def main():
     # correctness spot check on the overlapping block
     ok = bool(np.array_equal(sims[:nb, :nb], base))
 
+    # short-kernel on-chip bit-exactness (12-mer regime; the headline
+    # exercises only the long regime) + i16 eligibility evidence
+    from dynaalign_tpu import blosum
+    from dynaalign_tpu.ops import nw_i16_ok
+
+    short_seqs = load_sequences("evp_peparray", limit=160)
+    short_ok = bool(
+        np.array_equal(
+            similarity_nw(short_seqs),
+            oracle.nw_similarity(short_seqs, n_threads=0),
+        )
+    )
+    pad = -(-(max(len(s) for s in seqs) + 1) // 8) * 8 - 1
+    i16_on = bool(
+        nw_i16_ok(pad, pad, 10, 4, blosum.get_matrix("BLOSUM62"))
+    )
+
     result = {
         "metric": "nw_allpairs_pairs_per_sec",
         "value": round(tpu_pairs_per_sec, 2),
@@ -83,6 +100,8 @@ def main():
         "tpu_seconds": round(tpu_time, 3),
         "baseline_pairs_per_sec": round(cpu_pairs_per_sec, 2),
         "bit_exact_vs_oracle": ok,
+        "short_kernel_bit_exact": short_ok,
+        "i16_planes_enabled": i16_on,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
     }

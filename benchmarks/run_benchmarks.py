@@ -266,7 +266,9 @@ def bench_mh_full(args) -> None:
     from dynaalign_tpu import similarity_mh
     from dynaalign_tpu.io.datasets import load_sequences
 
-    seqs = list(load_sequences("h3n2ha1415", limit=args.mh_full_limit))
+    seqs = list(
+        load_sequences("h3n2ha1415", limit=args.mh_full_limit or None)
+    )
     n = len(seqs)
     similarity_mh(seqs[: min(n, 1024)], k=4, n_hash=50, seed=0)  # warm
     t0 = time.perf_counter()

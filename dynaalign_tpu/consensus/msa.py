@@ -28,6 +28,15 @@ GAP = -1  # gap sentinel in aligned index arrays
 NEG = np.int32(np.iinfo(np.int32).min // 2)
 _NEGF = -1e18
 
+# Scoring-only substitutions for IUPAC letters outside the reference's
+# 24-symbol alphabet (src/pairwiseSeqAlign.cpp:15-21 has no J/U/O, but
+# the reference's consensus path goes through DECIPHER::AAStringSet,
+# which accepts them — h3n2sample itself contains 'J').  The original
+# letters are preserved in the aligned output; only the BLOSUM lookup
+# sees the substitute (J = Leu/Ile -> L, U = selenocysteine -> C,
+# O = pyrrolysine -> K).
+_SCORING_SUBSTITUTES = str.maketrans({"J": "L", "U": "C", "O": "K"})
+
 
 def _row_dp(score_rows, go: float, ge: float):
     """Affine-gap global DP over a precomputed score matrix [m, n].
@@ -122,7 +131,11 @@ def nw_align_pair(
 ) -> tuple[str, str]:
     """Global alignment of two sequences; returns the gapped strings."""
     sub = blosum.get_matrix(matrix_name, padded=False).astype(np.float64)
-    e = encode([s1, s2], pad_to=max(len(s1), len(s2)))
+    e = encode(
+        [s1.translate(_SCORING_SUBSTITUTES),
+         s2.translate(_SCORING_SUBSTITUTES)],
+        pad_to=max(len(s1), len(s2)),
+    )
     i1 = e.indices[0, : len(s1)]
     i2 = e.indices[1, : len(s2)]
     scores = sub[np.ix_(i1, i2)]
@@ -262,7 +275,9 @@ def progressive_msa(
     if n == 1:
         return [seqs[0]]
     sub = blosum.get_matrix(matrix_name, padded=False).astype(np.float64)
-    enc = encode(seqs, validate=True)
+    enc = encode(
+        [s.translate(_SCORING_SUBSTITUTES) for s in seqs], validate=True
+    )
     idxs = [enc.indices[i, : enc.lengths[i]] for i in range(n)]
 
     dist = _kmer_distance(seqs)

@@ -179,6 +179,8 @@ def _kernel(
     shape: tuple,  # (Mp1, B): DP rows on sublanes, pairs on lanes
     i16: bool = False,
     n_diag: int = 2,
+    n_cols: int = 0,  # padded b-side length N (for the band window)
+    band_classes: tuple = (),
 ):
     """``n_diag`` anti-diagonals per grid step.
 
@@ -194,6 +196,20 @@ def _kernel(
     the [D, Mp1, B] prepass output — diagonal-major, minor axis (pairs)
     matching the state planes.
 
+    **Band limiting** (``band_classes`` non-empty): diagonal d only has
+    valid DP rows i in [max(0, d-N), min(d, M)] — on average ~50% of the
+    plane is dead work.  Each step computes only a sublane window
+    [o, o+W) where W is the smallest static width class covering the
+    step's band (reads also need row lo-1 for the ancestor shift) and o
+    is the band start aligned down to 32 (the int8 sublane tile, which
+    also satisfies the int16/int32 tiles).  Correctness does not depend
+    on the window: rows above the band hold their init values until
+    their first border diagonal masks all state anyway, rows below the
+    band are never read again (the band only ascends), and the roll
+    wraparound garbage at window row 0 lands strictly below the write
+    band.  Each class duplicates the step body under ``pl.when`` —
+    compile time scales with len(band_classes).
+
     The grid is (T, D/n_diag): axis 0 sweeps independent pair tiles
     within ONE kernel launch (the TPU grid runs sequentially, so scratch
     is re-initialised per tile at g == 0 and the per-tile result emitted
@@ -201,9 +217,9 @@ def _kernel(
     across the whole tile sweep.
     """
     g = pl.program_id(1)
-    daxis = 0
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, daxis)
-    cap_shape = (1, shape[1])
+    mp1, bsz = shape
+    full_lane = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cap_shape = (1, bsz)
     # i16 is a STORAGE optimization only: the four score planes live in
     # VMEM as int16 (halving the dominant scratch read/write traffic),
     # but every ALU op, compare, and lane-roll runs at int32 — loads
@@ -218,7 +234,7 @@ def _kernel(
     @pl.when(g == 0)
     def _init():
         # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
-        m_b[:] = jnp.where(lane == 0, 0, neg).astype(sdt)
+        m_b[:] = jnp.where(full_lane == 0, 0, neg).astype(sdt)
         ix_b[:] = jnp.full(shape, neg, sdt)
         iy_b[:] = jnp.full(shape, neg, sdt)
         s_b[:] = jnp.zeros(shape, jnp.int32)
@@ -228,95 +244,124 @@ def _kernel(
         cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
-        return pltpu.roll(x, 1, daxis)
+        return pltpu.roll(x, 1, 0)
 
-    def cell(d1, score, match, prev, prev2):
-        """One diagonal's update.
+    def step_window(o, width):
+        """Run this step's n_diag diagonals on sublane window [o, o+W)."""
+        lane = o + jax.lax.broadcasted_iota(jnp.int32, (width, bsz), 0)
+        win = (pl.ds(o, width), slice(None))
 
-        prev = (M, Ix, Iy, S) of diagonal d1-1; prev2 = (best, S) of
-        d1-2, where best = max(M, Ix, Iy) — exactly the value the
-        reference leaves in M at interior cells (the in-place overwrite
-        at src/pairwiseSeqAlign.cpp:268-279) and the max the interior
-        recurrence reads across the borders.
-        """
-        pM, pIx, pIy, pS = prev
-        qBest, qS = prev2
+        def cell(d1, score, match, prev, prev2):
+            """One diagonal's update.
 
-        ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
-        iy = jnp.maximum(pM - (go + ge), pIy - ge)
-        mnew = sh(qBest) + score
-        if i16:
-            # re-clamp sentinel lineage: the narrowing int16 store would
-            # wrap under the per-diagonal gap decay; legit values never
-            # reach NEG16 (nw_i16_ok gate), so clamping only touches
-            # sentinels
-            ix = jnp.maximum(ix, neg)
-            iy = jnp.maximum(iy, neg)
-            mnew = jnp.maximum(mnew, neg)
+            prev = (M, Ix, Iy, S) of diagonal d1-1; prev2 = (best, S) of
+            d1-2, where best = max(M, Ix, Iy) — exactly the value the
+            reference leaves in M at interior cells (the in-place
+            overwrite at src/pairwiseSeqAlign.cpp:268-279) and the max
+            the interior recurrence reads across the borders.
+            """
+            pM, pIx, pIy, pS = prev
+            qBest, qS = prev2
 
-        d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
-        u_sel = (~d_sel) & (ix >= iy)
-        m_cell = jnp.where(d_sel, mnew, jnp.where(u_sel, ix, iy))
-        s_cell = (
-            jnp.where(
-                d_sel,
-                sh(qS) + (match << _LN_BITS),
-                jnp.where(u_sel, sh(pS), pS),
-            )
-            + 1  # length += 1 on every move
-        )
+            ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
+            iy = jnp.maximum(pM - (go + ge), pIy - ge)
+            mnew = sh(qBest) + score
+            if i16:
+                # re-clamp sentinel lineage: the narrowing int16 store
+                # would wrap under the per-diagonal gap decay; legit
+                # values never reach NEG16 (nw_i16_ok gate), so clamping
+                # only touches sentinels
+                ix = jnp.maximum(ix, neg)
+                iy = jnp.maximum(iy, neg)
+                mnew = jnp.maximum(mnew, neg)
 
-        border_gap = -go - (d1 - 1) * ge
-        is0 = lane == 0
-        isd = lane == d1
-        m_cell = jnp.where(is0 | isd, neg, m_cell)
-        ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
-        iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
-        s_cell = jnp.where(is0 | isd, d1, s_cell)
-        # interior: m_cell is already max(mnew, ix, iy); at borders the
-        # two extra maxes fold border_gap in — this is all diagonal d1's
-        # successors two steps ahead ever read
-        best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
-
-        # capture each pair's final cell (m, n) when its diagonal
-        # arrives; guard the full-width select+reduce behind a cheap
-        # [B,1] any() so most steps skip it
-        row_hit = fd_ref[0] == d1
-
-        @pl.when(jnp.any(row_hit))
-        def _():
-            hit = row_hit & (alen_ref[0] == lane)
-            cap[:] += jnp.sum(
-                jnp.where(hit, s_cell, 0), axis=daxis, keepdims=True
+            d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
+            u_sel = (~d_sel) & (ix >= iy)
+            m_cell = jnp.where(d_sel, mnew, jnp.where(u_sel, ix, iy))
+            s_cell = (
+                jnp.where(
+                    d_sel,
+                    sh(qS) + (match << _LN_BITS),
+                    jnp.where(u_sel, sh(pS), pS),
+                )
+                + 1  # length += 1 on every move
             )
 
-        return m_cell, ix, iy, s_cell, best
+            border_gap = -go - (d1 - 1) * ge
+            is0 = lane == 0
+            isd = lane == d1
+            m_cell = jnp.where(is0 | isd, neg, m_cell)
+            ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
+            iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
+            s_cell = jnp.where(is0 | isd, d1, s_cell)
+            # interior: m_cell is already max(mnew, ix, iy); at borders
+            # the two extra maxes fold border_gap in — this is all
+            # diagonal d1's successors two steps ahead ever read
+            best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
 
-    packed = sd_ref[0].astype(jnp.int32)  # [n_diag, Mp1, B]
-    d0 = n_diag * g
-    # loads widen int16-stored planes to the int32 compute width
-    bm = m_b[:].astype(jnp.int32)
-    bix = ix_b[:].astype(jnp.int32)
-    biy = iy_b[:].astype(jnp.int32)
-    # chain n_diag diagonals value-to-value; only the final even
-    # diagonal's full state and the final odd (best, S) touch scratch.
-    # prev = latest computed diagonal (d0 + t); prev2 = (best, S) of
-    # d0 + t - 1; prev_best = max(M, Ix, Iy) of prev (two maxes over
-    # values already live — never stored)
-    prev = (bm, bix, biy, s_b[:])
-    prev2 = (best_a[:].astype(jnp.int32), s_a[:])
-    prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
-    for t in range(n_diag):
-        pk = packed[t]
-        new = cell(d0 + t + 1, pk >> 1, pk & 1, prev, prev2)
-        prev2 = (prev_best, prev[3])
-        prev = new[:4]
-        prev_best = new[4]
-    best_a[:], s_a[:] = prev2[0].astype(sdt), prev2[1]
-    m_b[:] = prev[0].astype(sdt)
-    ix_b[:] = prev[1].astype(sdt)
-    iy_b[:] = prev[2].astype(sdt)
-    s_b[:] = prev[3]
+            # capture each pair's final cell (m, n) when its diagonal
+            # arrives; guard the select+reduce behind a cheap any()
+            row_hit = fd_ref[0] == d1
+
+            @pl.when(jnp.any(row_hit))
+            def _():
+                hit = row_hit & (alen_ref[0] == lane)
+                cap[:] += jnp.sum(
+                    jnp.where(hit, s_cell, 0), axis=0, keepdims=True
+                )
+
+            return m_cell, ix, iy, s_cell, best
+
+        packed = sd_ref[0, :, win[0], :].astype(jnp.int32)
+        d0 = n_diag * g
+        # loads widen int16-stored planes to the int32 compute width
+        bm = m_b[win].astype(jnp.int32)
+        bix = ix_b[win].astype(jnp.int32)
+        biy = iy_b[win].astype(jnp.int32)
+        # chain n_diag diagonals value-to-value; only the final even
+        # diagonal's full state and the final odd (best, S) touch
+        # scratch.  prev = latest computed diagonal (d0 + t); prev2 =
+        # (best, S) of d0 + t - 1; prev_best = max(M, Ix, Iy) of prev
+        # (two maxes over values already live — never stored)
+        prev = (bm, bix, biy, s_b[win])
+        prev2 = (best_a[win].astype(jnp.int32), s_a[win])
+        prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
+        for t in range(n_diag):
+            pk = packed[t]
+            new = cell(d0 + t + 1, pk >> 1, pk & 1, prev, prev2)
+            prev2 = (prev_best, prev[3])
+            prev = new[:4]
+            prev_best = new[4]
+        best_a[win] = prev2[0].astype(sdt)
+        s_a[win] = prev2[1]
+        m_b[win] = prev[0].astype(sdt)
+        ix_b[win] = prev[1].astype(sdt)
+        iy_b[win] = prev[2].astype(sdt)
+        s_b[win] = prev[3]
+
+    if band_classes:
+        d_first = n_diag * g + 1
+        d_last = n_diag * g + n_diag
+        # write band rows [max(0, d-N), min(d, M)]; reads also need the
+        # ancestor row lo-1; offset aligned down to the int8 sublane
+        # tile (32), which also satisfies the int16/int32 tiles
+        lo = jnp.maximum(0, d_first - n_cols - 1)
+        hi = jnp.minimum(d_last, mp1 - 1)
+        lo32 = (lo // 32) * 32
+        needed = hi - lo32 + 1
+        cls = jnp.int32(0)
+        for wc in band_classes[:-1]:
+            cls = cls + (needed > wc).astype(jnp.int32)
+        for ci, wc in enumerate(band_classes):
+            @pl.when(cls == ci)
+            def _(wc=wc):
+                # mp1 - wc is 32-aligned by construction of the classes;
+                # keep `* 32` as the LAST op so Mosaic can statically
+                # prove the sublane offset's tile alignment
+                o = jnp.minimum(lo // 32, (mp1 - wc) // 32) * 32
+                step_window(o, wc)
+    else:
+        step_window(0, mp1)
 
     @pl.when(g == pl.num_programs(1) - 1)
     def _emit():
@@ -377,7 +422,7 @@ def nw_similarity_batch_pallas(
 
     out = _run_kernel(
         sd[None], alen, fd, (mp1, bsz), d_total, gap_open, gap_ext,
-        interpret, score_i16, nd,
+        interpret, score_i16, nd, n, _band_enabled(mp1),
     )
     packed = out[0, 0, :]
     return NWResult(
@@ -385,9 +430,36 @@ def nw_similarity_batch_pallas(
     )
 
 
+def _band_classes(mp1: int, n_classes: int = 4) -> tuple:
+    """Static sublane-window width classes for the band-limited sweep.
+
+    Widths keep ``mp1 - W`` 32-aligned so the clamped window offset
+    stays tile-aligned; degenerate/duplicate classes collapse.
+    """
+    widths = []
+    for c in range(1, n_classes):
+        slack = (mp1 * (n_classes - c) // n_classes) // 32 * 32
+        w = mp1 - slack
+        if 64 <= w < mp1:
+            widths.append(w)
+    widths.append(mp1)
+    return tuple(dict.fromkeys(widths))
+
+
+def _band_enabled(mp1: int) -> bool:
+    """Band-limit by default for grids tall enough to have dead rows
+    worth skipping; DYNAALIGN_NW_BAND=0 disables, =1 forces."""
+    env = os.environ.get("DYNAALIGN_NW_BAND")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return mp1 >= 256
+
+
 def _run_kernel(
     sd, alen, fd, shape, d_total, gap_open, gap_ext, interpret,
-    i16=False, n_diag=2,
+    i16=False, n_diag=2, n_cols=0, band=False,
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
@@ -402,7 +474,8 @@ def _run_kernel(
     t_tiles = sd.shape[0]
     kernel = functools.partial(
         _kernel, go=gap_open, ge=gap_ext, shape=shape,
-        i16=i16, n_diag=n_diag,
+        i16=i16, n_diag=n_diag, n_cols=n_cols,
+        band_classes=_band_classes(shape[0]) if band else (),
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
@@ -493,7 +566,7 @@ def nw_similarity_tiles_pallas(
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
         sd, alen, fd, (mp1, bsz), d_total + pad_d, gap_open, gap_ext,
-        interpret, score_i16, nd,
+        interpret, score_i16, nd, n, _band_enabled(mp1),
     )
     packed = out[:, 0, :]  # [T, B]
     return NWResult(

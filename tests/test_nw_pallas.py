@@ -167,3 +167,40 @@ def test_pallas_short_asymmetric_buckets(make_seqs):
         sub, interpret=True,
     )
     np.testing.assert_array_equal(res.similarity(), _oracle(pairs))
+
+
+def test_band_limited_bit_exact(monkeypatch, make_seqs):
+    """Band-limited sweep (static width classes + dynamic 32-aligned
+    sublane window) must be bit-identical to the full-width kernel on
+    square and asymmetric grids."""
+    from dynaalign_tpu.ops.nw import nw_similarity_batch
+
+    monkeypatch.setenv("DYNAALIGN_NW_BAND", "1")
+    sub = jnp.asarray(blosum.get_matrix("BLOSUM62"))
+    a_seqs = make_seqs(8, 150, 287)
+    b_seqs = make_seqs(8, 30, 159)
+    ea = encode.encode(a_seqs, pad_to=287)
+    eb = encode.encode(b_seqs, pad_to=159)
+    a, la = jnp.asarray(ea.indices), jnp.asarray(ea.lengths)
+    b, lb = jnp.asarray(eb.indices), jnp.asarray(eb.lengths)
+    for x, lx, y, ly in ((a, la, b, lb), (b, lb, a, la), (a, la, a, la)):
+        got = nw_similarity_batch_pallas(
+            x, lx, y, ly, sub, interpret=True
+        )
+        want = nw_similarity_batch(x, lx, y, ly, sub)
+        np.testing.assert_array_equal(
+            np.asarray(got.matches), np.asarray(want.matches)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.length), np.asarray(want.length)
+        )
+
+
+def test_band_classes_alignment():
+    from dynaalign_tpu.ops.nw_pallas import _band_classes
+
+    for mp1 in (256, 568, 576, 1024, 2048):
+        classes = _band_classes(mp1)
+        assert classes[-1] == mp1
+        assert all((mp1 - w) % 32 == 0 for w in classes)
+        assert sorted(classes) == list(classes)
