@@ -255,6 +255,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # multi-host runs: wire this process into the global runtime before
+    # any backend init (no-op unless JAX_COORDINATOR is set)
+    from .parallel import distributed_init
+
+    distributed_init()
     return args.fn(args)
 
 

@@ -139,11 +139,22 @@ def _pack_score_diagonals(
       63, exact in bf16), so the [M, N, B] match tensor is never
       materialized.
     """
+    packed = _packed_scores(a_idx, b_idx, sub)
     bsz, m = a_idx.shape
     n = b_idx.shape[1]
     mp1 = m + 1
     w = n + mp1  # padded row width for the skew
+    # leading zero row (sublane 0 = border row) + pad to width W
+    x = jnp.pad(packed, ((1, 0), (0, w - n), (0, 0)))  # [Mp1, W, B]
+    x = jax.lax.optimization_barrier(x)
+    flat = x.reshape(mp1 * w, bsz)
+    skew = flat[: mp1 * (w - 1)].reshape(mp1, w - 1, bsz)
+    # skew[i, d, b] == x[i, d - i, b]  (zeros when d < i or d-i >= N)
+    return jnp.transpose(skew, (1, 0, 2))  # [D, Mp1, B], minor intact
 
+
+def _packed_scores(a_idx, b_idx, sub) -> jnp.ndarray:
+    """int8 [M, N, B] 2*score + match (see _pack_score_diagonals)."""
     oa = jax.nn.one_hot(a_idx, 32, dtype=jnp.bfloat16)  # [B, M, 32]
     ob = jax.nn.one_hot(b_idx, 32, dtype=jnp.bfloat16)  # [B, N, 32]
     sub2 = (2 * sub + jnp.eye(32, dtype=sub.dtype)).astype(jnp.bfloat16)
@@ -154,13 +165,20 @@ def _pack_score_diagonals(
     packed = jnp.einsum(
         "bml,bnl->mnb", rows, ob, preferred_element_type=jnp.bfloat16
     ).astype(jnp.int8)  # [M, N, B] = 2*score + match
+    # materialization barrier: letting XLA fuse the einsum into the
+    # skew consumer doubles the prepass cost (measured 8.6 -> 4.4 ms
+    # per 256-pair tile on v5e — the fused loop recomputes addressing
+    # per element); force a clean copy stage instead
+    return jax.lax.optimization_barrier(packed)
 
-    # leading zero row (sublane 0 = border row) + pad to width W
-    x = jnp.pad(packed, ((1, 0), (0, w - n), (0, 0)))  # [Mp1, W, B]
-    flat = x.reshape(mp1 * w, bsz)
-    skew = flat[: mp1 * (w - 1)].reshape(mp1, w - 1, bsz)
-    # skew[i, d, b] == x[i, d - i, b]  (zeros when d < i or d-i >= N)
-    return jnp.transpose(skew, (1, 0, 2))  # [D, Mp1, B], minor intact
+
+# NOTE (measured dead end, round 2): a pure-DMA skew — one strided
+# HBM->HBM copy per DP row, out[i:i+N, i, :] = packed[i-1] — would move
+# the 82 MB at copy speed, but Mosaic rejects it: DMA slices must be
+# tile-aligned in the minor two dims, and the skew's per-row offset is
+# arbitrary mod 8 on a tiled dim in every layout permutation.  Any
+# tile-aligned variant needs the intra-tile shuffle done as vector work,
+# which is what the XLA skew already is.
 
 
 def _kernel(
@@ -406,15 +424,14 @@ def nw_similarity_batch_pallas(
     mp1 = m + 1
     d_total = m + n
 
+    nd = _diags_per_step()
+    pad_d = -d_total % nd
     sd = _pack_score_diagonals(
         a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
     )
-    nd = _diags_per_step()
-    pad_d = -d_total % nd
     if pad_d:
-        # n_diag-diagonal steps need D % n_diag == 0; extra zero
-        # diagonals beyond the grid are computed harmlessly (no pair's
-        # final cell lives there, so captures are unaffected)
+        # extra zero diagonals beyond the grid are computed harmlessly
+        # (no pair's final cell lives there, so captures are unaffected)
         sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
         d_total += pad_d
     alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
