@@ -72,7 +72,9 @@ def main():
             x = x[0]
         np.asarray(jax.tree_util.tree_leaves(x)[0])
 
-    for B in (256, 512):
+    # B=512 exceeds scoped VMEM even with i16 planes (21.9M vs 16M);
+    # keep the probe at the production batch
+    for B in (256,):
         ra = [rng.integers(0, n, B).astype(np.int32) for _ in range(8)]
         rb = [rng.integers(0, n, B).astype(np.int32) for _ in range(8)]
         a_dev = [jnp.take(seq_idx, jnp.asarray(r), axis=0) for r in ra]
