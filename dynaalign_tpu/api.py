@@ -47,8 +47,9 @@ def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:
     return int(np.clip(_SHORT_CELL_BUDGET // mp1 // 128 * 128, lo, hi))
 
 
-# HBM budget for one tiled kernel launch's packed score diagonals
-# ([T, D, B, Mp1] int8) — bounds how many pair tiles ride one dispatch
+# HBM budget for one tiled kernel launch's scoring inputs (the
+# [T, 8, Mp1, B] int32 substitution slab + [T, D, B] int32 b-char
+# stream) — bounds how many pair tiles ride one dispatch
 _TILED_SD_BUDGET = 2 << 30
 
 
@@ -74,7 +75,7 @@ def _tiles_per_launch(
         return int(np.clip(int(override), 1, n_tiles))
     if backend != "pallas_short":
         return 1
-    per_tile = (m + n + 1) * bsz * (m + 1)  # int8 bytes
+    per_tile = (32 * (m + 1) + 4 * (m + n + 2)) * bsz  # slab + bstream
     return int(np.clip(_TILED_SD_BUDGET // max(per_tile, 1), 1, n_tiles))
 
 

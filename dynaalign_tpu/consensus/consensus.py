@@ -31,8 +31,15 @@ Deliberate divergences from DECIPHER (documented, since DECIPHER cannot
 run in this environment to diff against): DECIPHER additionally weights
 information by positional secondary-structure probabilities for its
 staggered alignments — irrelevant for the reference's usage, which calls
-it with defaults on plain AA sets; and DECIPHER's ``ignoreNonBases``
-applies to nucleotide inputs only.
+it with defaults on plain AA sets; DECIPHER's ``ignoreNonBases``
+applies to nucleotide inputs only; and the ``min_information`` test
+divides the consensus set's residue mass by the column's TOTAL
+non-missing mass *including interior gaps* (so e.g. a unanimous-D
+column with 40% interior gap mass emits ``no_consensus_char`` under
+defaults).  This gap-inclusive denominator is one reading of
+DECIPHER's information measure and is validated only by self-authored
+tests; the gap-exclusive alternative would compare ``cum`` against
+``res_total`` instead (consensus_sequence, "below-information" branch).
 """
 
 from __future__ import annotations

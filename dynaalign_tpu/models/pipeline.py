@@ -56,7 +56,9 @@ def nw_rescore_pairs(
         backend = "pallas_short"
         batch = _short_batch(pad_to + 1)
     elif tpu_available() and max_len <= 4000:
-        pad_to = -(-(max_len + 1) // 128) * 128 - 1
+        # sublane (8-multiple) padding, matching api.similarity_nw —
+        # the old 128-multiple pad cost +13% dead DP area at h3n2 scale
+        pad_to = -(-(max_len + 1) // 8) * 8 - 1
         backend = "pallas"
     else:
         pad_to = None

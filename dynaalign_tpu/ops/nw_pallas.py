@@ -3,21 +3,25 @@
 Same semantics as ops.nw (reference src/pairwiseSeqAlign.cpp:209-313,
 bit-exact percent identity), engineered for the chip:
 
-* **Score pre-pass on the MXU, zero gathers.**  Per-cell substitution
-  scores never go through a table gather: the [B, M, N] score tensor is
-  two one-hot matmuls (exact in bf16 — every product has a single
-  non-zero term), the traceback match bit is packed into the same int8,
-  and the tensor is *skewed into anti-diagonal-major layout with a pure
-  pad+reshape+transpose*:  padding each row of an [M, W] array to width W
-  and reslicing row-major at stride W-1 realigns column d of the result
-  to anti-diagonal d (flat[i*(W-1)+d] = X[i, d-i]).  No gather ops
-  anywhere on the hot path.
+* **Scores are generated inside the kernel — no HBM score tensor.**
+  Rounds 1-2 materialized a packed [D, Mp1, B] anti-diagonal score
+  tensor in HBM (~82 MB per 256-pair tile); its skew/pad cost 1.7x the
+  DP kernel itself.  Now the prepass only builds a per-pair *substitution
+  slab*: for every DP row i, the 32-entry BLOSUM row of that pair's
+  a-character, bias-packed four bytes per int32 ([8, Mp1, B], ~4.6 MB,
+  VMEM-resident for the whole sweep).  The kernel reconstructs each
+  diagonal's scores on the fly: a `c`-plane (the b-character facing each
+  DP row on the current anti-diagonal) advances by one sublane roll plus
+  one streamed fresh row per diagonal, and the score byte is selected
+  from the slab with a 3-level packed-word tree keyed by `c` plus a
+  per-lane variable-shift byte extract.  ~20 extra VPU ops per cell in
+  exchange for eliminating the 82 MB round trip and the skew entirely.
 
 * **DP state lives in VMEM across the whole sweep.**  The kernel runs a
-  1-D grid over anti-diagonals; Pallas pipelines one [B, Mp1] int8 score
-  diagonal per step from HBM (double-buffered automatically) while the
-  state planes stay resident in VMEM scratch — the lax.scan version pays
-  tens of MB of HBM carry traffic per diagonal; this kernel pays 160 KB.
+  1-D grid over anti-diagonals; only the [n_diag, B] fresh b-char rows
+  stream from HBM per step (their offset is a pure function of the grid
+  index, so the BlockSpec index map drives the DMA) while the state
+  planes stay resident in VMEM scratch.
 
 * **Packed traceback statistics.**  (matches, length) ride in one int32
   plane as (mt << 13) | ln — one select chain instead of two and 20%
@@ -35,12 +39,9 @@ bit-exact percent identity), engineered for the chip:
 
 Shapes: lanes = B (pair batch; keep it a multiple of 128 for full-lane
 vregs), sublanes = Mp1 (DP row index; pad M so Mp1 is a multiple of 8).
-Pairs ride the lane axis for EVERY length regime: the score prepass can
-then keep the pair axis minor end-to-end (no minor-axis transpose of the
-~200 MB diagonal tensor — that transpose used to cost 3.5x the DP kernel
-itself), and the sublane-axis padding constraint (8) wastes far less DP
-grid than the old lane-axis one (128).  The per-pair result is captured
-on the fly at each pair's final cell and written on the last grid step.
+Pairs ride the lane axis for EVERY length regime.  The per-pair result
+is captured on the fly at each pair's final cell and written on the last
+grid step.
 """
 
 from __future__ import annotations
@@ -65,14 +66,18 @@ NEG = np.int32(np.iinfo(np.int32).min // 2)
 NEG16 = np.int16(-26000)
 _LN_BITS = 13
 _LN_MASK = (1 << _LN_BITS) - 1
+# packed slab bytes store (2*sub + match) + _BIAS so every byte is
+# unsigned; |2s+1| <= 66 across the six BLOSUM tables, so the biased
+# byte is in [62, 195] and the extract is a shift+mask+subtract with no
+# sign-extension dance
+_BIAS = 128
 
 
 def _diags_per_step() -> int:
     """Anti-diagonals processed per grid step (even; probe-tunable).
 
-    Probes show per-diagonal cost is flat from 2 to 8
-    (tools/probe_i16.py); 2 keeps the double-buffered score block
-    smallest.
+    Must divide 32 when band limiting is on (the band window offset is
+    32-aligned and the streamed fresh-row block index must stay whole).
     """
     return int(os.environ.get("DYNAALIGN_NW_DIAGS", "2"))
 
@@ -112,84 +117,88 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     )
 
 
-def _pack_score_diagonals(
+def _score_slab(
     a_idx: jnp.ndarray,  # int32 [B, M]
     b_idx: jnp.ndarray,  # int32 [B, N]
     sub: jnp.ndarray,  # int32 [32, 32]
-) -> jnp.ndarray:
-    """int8 [D, Mp1, B] anti-diagonal-major packed (2*score + match).
+    d_pad: int,  # padded diagonal count (multiple of n_diag)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel-side scoring inputs: (slab [8, Mp1, B], bstream [Dpad, B]).
 
-    Sublane i of diagonal-block d holds cell (i, j=d+1-i)'s substitution
-    score and char-equality bit for every pair on the lane axis;
-    out-of-grid cells read zeros.
+    slab[k, i, b] packs the four biased score bytes
+    ``2*sub[a[b, i-1], l] + (a[b, i-1] == l) + 128`` for alphabet codes
+    l = 4k..4k+3 into one int32 — the full 32-entry substitution row of
+    pair b's i-th a-character, MXU-generated via a one-hot matmul (exact
+    in bf16: each product has a single non-zero term and |2s+1| <= 66).
+    Row 0 (the DP border row) is irrelevant (always masked) and holds
+    bias bytes.
 
-    HBM-bandwidth-critical tricks (this prepass used to cost 3.5x the DP
-    kernel itself, tools/profile_nw_long.py):
-
-    * the pair axis B stays the MINOR axis end-to-end — the einsum emits
-      [M, N, B] directly and the skew's final transpose swaps only the
-      two MAJOR axes, so no minor-axis (lane) transpose of the ~200 MB
-      tensor ever happens.  (Returning the skew's natural [Mp1, D, B]
-      with the kernel slicing D mid-axis was probed too: it avoids even
-      the major-axis transpose but blows Mosaic compile time from ~2 min
-      to >15 min per shape — not worth it.)
-    * the match bit is folded into the substitution lookup: with
-      sub2 = 2*sub + I both one-hot matmuls compute 2*score + match in
-      one pass (every product has a single non-zero term and |2s+1| <=
-      63, exact in bf16), so the [M, N, B] match tensor is never
-      materialized.
+    bstream[d, b] is pair b's b-character at position d (int32, 0 beyond
+    the padded length — those values only ever reach out-of-grid cells).
+    The kernel's c-plane consumes row d-1-o(g) at diagonal d, so the
+    rows double as the per-step DMA blocks.
     """
-    packed = _packed_scores(a_idx, b_idx, sub)
     bsz, m = a_idx.shape
-    n = b_idx.shape[1]
     mp1 = m + 1
-    w = n + mp1  # padded row width for the skew
-    # leading zero row (sublane 0 = border row) + pad to width W
-    x = jnp.pad(packed, ((1, 0), (0, w - n), (0, 0)))  # [Mp1, W, B]
-    x = jax.lax.optimization_barrier(x)
-    flat = x.reshape(mp1 * w, bsz)
-    skew = flat[: mp1 * (w - 1)].reshape(mp1, w - 1, bsz)
-    # skew[i, d, b] == x[i, d - i, b]  (zeros when d < i or d-i >= N)
-    return jnp.transpose(skew, (1, 0, 2))  # [D, Mp1, B], minor intact
-
-
-def _packed_scores(a_idx, b_idx, sub) -> jnp.ndarray:
-    """int8 [M, N, B] 2*score + match (see _pack_score_diagonals)."""
     oa = jax.nn.one_hot(a_idx, 32, dtype=jnp.bfloat16)  # [B, M, 32]
-    ob = jax.nn.one_hot(b_idx, 32, dtype=jnp.bfloat16)  # [B, N, 32]
     sub2 = (2 * sub + jnp.eye(32, dtype=sub.dtype)).astype(jnp.bfloat16)
     rows = jnp.einsum(
-        "bmk,kl->bml", oa, sub2,
-        preferred_element_type=jnp.bfloat16,
+        "bmk,kl->mlb", oa, sub2, preferred_element_type=jnp.bfloat16
+    ).astype(jnp.int32) + _BIAS  # [M, 32, B] biased bytes
+    rows = jnp.pad(rows, ((1, 0), (0, 0), (0, 0)),
+                   constant_values=_BIAS)  # border row 0
+    r4 = rows.reshape(mp1, 8, 4, bsz)
+    slab = (
+        r4[:, :, 0]
+        | (r4[:, :, 1] << 8)
+        | (r4[:, :, 2] << 16)
+        | (r4[:, :, 3] << 24)
+    )  # [Mp1, 8, B]
+    slab = jnp.transpose(slab, (1, 0, 2))  # [8, Mp1, B]
+    bstream = jnp.pad(
+        jnp.transpose(b_idx, (1, 0)),  # [N, B]
+        ((0, d_pad - b_idx.shape[1]), (0, 0)),
     )
-    packed = jnp.einsum(
-        "bml,bnl->mnb", rows, ob, preferred_element_type=jnp.bfloat16
-    ).astype(jnp.int8)  # [M, N, B] = 2*score + match
-    # materialization barrier: letting XLA fuse the einsum into the
-    # skew consumer doubles the prepass cost (measured 8.6 -> 4.4 ms
-    # per 256-pair tile on v5e — the fused loop recomputes addressing
-    # per element); force a clean copy stage instead
-    return jax.lax.optimization_barrier(packed)
+    return slab, bstream
 
 
-# NOTE (measured dead end, round 2): a pure-DMA skew — one strided
-# HBM->HBM copy per DP row, out[i:i+N, i, :] = packed[i-1] — would move
-# the 82 MB at copy speed, but Mosaic rejects it: DMA slices must be
-# tile-aligned in the minor two dims, and the skew's per-row offset is
-# arbitrary mod 8 on a tiled dim in every layout permutation.  Any
-# tile-aligned variant needs the intra-tile shuffle done as vector work,
-# which is what the XLA skew already is.
+def _band_select(g, nd, mp1, n_cols, band_classes):
+    """(cls, o) band window choice for grid step g.
+
+    Shared by the kernel body and the bstream BlockSpec index map — the
+    streamed fresh-row offset must agree exactly with the in-kernel
+    window offset.  Returns the class id and the 32-aligned sublane
+    window offset; o == 0 when band_classes is empty.
+    """
+    if not band_classes:
+        return jnp.int32(0), jnp.int32(0)
+    d_first = nd * g + 1
+    d_last = nd * g + nd
+    lo = jnp.maximum(0, d_first - n_cols - 1)
+    hi = jnp.minimum(d_last, mp1 - 1)
+    lo32 = (lo // 32) * 32
+    needed = hi - lo32 + 1
+    cls = jnp.int32(0)
+    for wc in band_classes[:-1]:
+        cls = cls + (needed > wc).astype(jnp.int32)
+    o = jnp.int32(0)
+    for ci, wc in enumerate(band_classes):
+        oc = jnp.minimum(lo // 32, (mp1 - wc) // 32) * 32
+        o = jnp.where(cls == ci, oc, o)
+    return cls, o
 
 
 def _kernel(
-    sd_ref,  # int8 [1, n_diag, Mp1, B] — packed scores of the step's diagonals
+    slab_ref,  # int32 [1, 8, Mp1, B] — packed substitution rows (VMEM)
+    bstr_ref,  # int32 [1, 1, n_diag, B] — this step's fresh b-char rows
     alen_ref,  # int32 [1, B]
     fd_ref,  # int32 [1, B] — final diagonal (m + n) per pair
     out_ref,  # int32 [1, B] — packed (matches << 13 | length)
     # scratch: odd set (a) keeps only (best, S); even set (b) keeps the
-    # full (M, Ix, Iy, S); capture accumulator
+    # full (M, Ix, Iy, S); c-plane; capture accumulator
     best_a, s_a,
     m_b, ix_b, iy_b, s_b,
+    c_pl,
     cap,
     *,
     go: int,
@@ -210,9 +219,20 @@ def _kernel(
     both scale down with n_diag.  D_total must be a multiple of n_diag.
 
     State planes are [Mp1, B]: pairs ride the 128-lane axis, DP rows the
-    sublane axis.  The score input block is a [n_diag, Mp1, B] slice of
-    the [D, Mp1, B] prepass output — diagonal-major, minor axis (pairs)
-    matching the state planes.
+    sublane axis.
+
+    **In-kernel scoring.**  The c-plane scratch holds, for each DP row i
+    in the active window, the b-character this diagonal pairs it with:
+    c[i] = b[d-1-i].  Advancing one diagonal is a sublane roll by one
+    (row i inherits row i-1's character) plus a fresh character at the
+    window's top row (streamed via bstr_ref — its block offset
+    d-1-o(g) is a pure function of the grid step, computed by the
+    BlockSpec index map with the shared _band_select helper).  The score
+    byte is then selected from the VMEM-resident slab with a 3-level
+    where-tree over the 8 packed words keyed by c's high bits, and a
+    per-lane variable shift extracts the biased byte.  Rows whose c was
+    never initialised (window growth) only ever cover masked border or
+    out-of-grid cells — see the band-correctness argument below.
 
     **Band limiting** (``band_classes`` non-empty): diagonal d only has
     valid DP rows i in [max(0, d-N), min(d, M)] — on average ~50% of the
@@ -221,12 +241,15 @@ def _kernel(
     step's band (reads also need row lo-1 for the ancestor shift) and o
     is the band start aligned down to 32 (the int8 sublane tile, which
     also satisfies the int16/int32 tiles).  Correctness does not depend
-    on the window: rows above the band hold their init values until
+    on the window: rows above the band keep their init values until
     their first border diagonal masks all state anyway, rows below the
     band are never read again (the band only ascends), and the roll
     wraparound garbage at window row 0 lands strictly below the write
-    band.  Each class duplicates the step body under ``pl.when`` —
-    compile time scales with len(band_classes).
+    band.  The c-plane obeys the same induction: a row is covered by the
+    window from its border diagonal (d == i) onward, so the roll chain
+    that feeds it is unbroken from the fresh insert at the window top.
+    Each class duplicates the step body under ``pl.when`` — compile time
+    scales with len(band_classes).
 
     The grid is (T, D/n_diag): axis 0 sweeps independent pair tiles
     within ONE kernel launch (the TPU grid runs sequentially, so scratch
@@ -259,6 +282,7 @@ def _kernel(
         # odd set (= diagonal -1): never a real ancestor; sentinels
         best_a[:] = jnp.full(shape, neg, sdt)
         s_a[:] = jnp.zeros(shape, jnp.int32)
+        c_pl[:] = jnp.zeros(shape, jnp.int32)
         cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
@@ -267,7 +291,29 @@ def _kernel(
     def step_window(o, width):
         """Run this step's n_diag diagonals on sublane window [o, o+W)."""
         lane = o + jax.lax.broadcasted_iota(jnp.int32, (width, bsz), 0)
+        local0 = jax.lax.broadcasted_iota(
+            jnp.int32, (width, bsz), 0
+        ) == 0
         win = (pl.ds(o, width), slice(None))
+        # the 8 packed substitution words for the window's a-characters,
+        # loaded once per step and shared by all n_diag diagonals
+        sw = [slab_ref[0, k, win[0], :] for k in range(8)]
+
+        def score_diag(c):
+            """Per-cell (score, match) from the slab keyed by c."""
+            sha = (c & 3) << 3
+            p0 = (c & 4) != 0
+            p1 = (c & 8) != 0
+            p2 = (c & 16) != 0
+            t0 = jnp.where(p0, sw[1], sw[0])
+            t1 = jnp.where(p0, sw[3], sw[2])
+            t2 = jnp.where(p0, sw[5], sw[4])
+            t3 = jnp.where(p0, sw[7], sw[6])
+            u0 = jnp.where(p1, t1, t0)
+            u1 = jnp.where(p1, t3, t2)
+            v = jnp.where(p2, u1, u0)
+            s2 = ((v >> sha) & 0xFF) - _BIAS  # 2*score + match
+            return s2 >> 1, s2 & 1
 
         def cell(d1, score, match, prev, prev2):
             """One diagonal's update.
@@ -330,7 +376,6 @@ def _kernel(
 
             return m_cell, ix, iy, s_cell, best
 
-        packed = sd_ref[0, :, win[0], :].astype(jnp.int32)
         d0 = n_diag * g
         # loads widen int16-stored planes to the int32 compute width
         bm = m_b[win].astype(jnp.int32)
@@ -344,12 +389,19 @@ def _kernel(
         prev = (bm, bix, biy, s_b[win])
         prev2 = (best_a[win].astype(jnp.int32), s_a[win])
         prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
+        c_cur = c_pl[win]
         for t in range(n_diag):
-            pk = packed[t]
-            new = cell(d0 + t + 1, pk >> 1, pk & 1, prev, prev2)
+            # advance the c-plane: row i inherits row i-1's b-char; the
+            # window-top row takes this diagonal's streamed fresh char
+            c_cur = jnp.where(
+                local0, bstr_ref[0, 0, t, :], sh(c_cur)
+            )
+            score, match = score_diag(c_cur)
+            new = cell(d0 + t + 1, score, match, prev, prev2)
             prev2 = (prev_best, prev[3])
             prev = new[:4]
             prev_best = new[4]
+        c_pl[win] = c_cur
         best_a[win] = prev2[0].astype(sdt)
         s_a[win] = prev2[1]
         m_b[win] = prev[0].astype(sdt)
@@ -358,18 +410,9 @@ def _kernel(
         s_b[win] = prev[3]
 
     if band_classes:
+        cls, _ = _band_select(g, n_diag, mp1, n_cols, band_classes)
         d_first = n_diag * g + 1
-        d_last = n_diag * g + n_diag
-        # write band rows [max(0, d-N), min(d, M)]; reads also need the
-        # ancestor row lo-1; offset aligned down to the int8 sublane
-        # tile (32), which also satisfies the int16/int32 tiles
         lo = jnp.maximum(0, d_first - n_cols - 1)
-        hi = jnp.minimum(d_last, mp1 - 1)
-        lo32 = (lo // 32) * 32
-        needed = hi - lo32 + 1
-        cls = jnp.int32(0)
-        for wc in band_classes[:-1]:
-            cls = cls + (needed > wc).astype(jnp.int32)
         for ci, wc in enumerate(band_classes):
             @pl.when(cls == ci)
             def _(wc=wc):
@@ -408,11 +451,8 @@ def nw_similarity_batch_pallas(
     tests/test_nw_pallas.py); use interpret=True off-TPU.
 
     Layout: pairs ride the 128-lane axis and DP rows the sublane axis
-    for every sequence length — the prepass then never transposes the
-    minor axis (the old [B, Mp1] long layout spent 3.5x the kernel's
-    time re-laying out score diagonals), and padding only needs
-    (m+1) % 8 == 0 instead of % 128.  Wants B % 128 == 0 for full-lane
-    vregs.
+    for every sequence length; padding only needs (m+1) % 8 == 0.
+    Wants B % 128 == 0 for full-lane vregs.
     """
     bsz, m = a_idx.shape
     n = b_idx.shape[1]
@@ -425,21 +465,17 @@ def nw_similarity_batch_pallas(
     d_total = m + n
 
     nd = _diags_per_step()
-    pad_d = -d_total % nd
-    sd = _pack_score_diagonals(
-        a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub
+    d_pad = d_total + (-d_total % nd)
+    slab, bstream = _score_slab(
+        a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub, d_pad
     )
-    if pad_d:
-        # extra zero diagonals beyond the grid are computed harmlessly
-        # (no pair's final cell lives there, so captures are unaffected)
-        sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
-        d_total += pad_d
     alen = a_len.astype(jnp.int32).reshape(1, 1, bsz)
     fd = (a_len + b_len).astype(jnp.int32).reshape(1, 1, bsz)
 
     out = _run_kernel(
-        sd[None], alen, fd, (mp1, bsz), d_total, gap_open, gap_ext,
-        interpret, score_i16, nd, n, _band_enabled(mp1),
+        slab[None], bstream[None], alen, fd, (mp1, bsz), d_pad,
+        gap_open, gap_ext, interpret, score_i16, nd, n,
+        _band_enabled(mp1),
     )
     packed = out[0, 0, :]
     return NWResult(
@@ -475,24 +511,33 @@ def _band_enabled(mp1: int) -> bool:
 
 
 def _run_kernel(
-    sd, alen, fd, shape, d_total, gap_open, gap_ext, interpret,
-    i16=False, n_diag=2, n_cols=0, band=False,
+    slab, bstream, alen, fd, shape, d_total, gap_open, gap_ext,
+    interpret, i16=False, n_diag=2, n_cols=0, band=False,
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
-    sd: [T, D, Mp1, B] packed score diagonals; alen/fd: [T, 1, B];
-    returns [T, 1, B].  shape = (Mp1, B) state-plane shape.  The T axis
-    runs whole independent pair tiles back-to-back inside one launch, so
+    slab: [T, 8, Mp1, B] packed substitution rows; bstream: [T, D, B]
+    per-diagonal fresh b-chars; alen/fd: [T, 1, B]; returns [T, 1, B].
+    shape = (Mp1, B) state-plane shape.  The T axis runs whole
+    independent pair tiles back-to-back inside one launch, so
     per-dispatch overhead is paid once per sweep, not once per tile.
     i16 stores the four score planes as int16 (halving their VMEM
     traffic); the packed (matches, length) planes stay int32.  n_diag
-    diagonals are processed per grid step (D must divide evenly).
+    diagonals are processed per grid step (D must divide evenly; must
+    divide 32 when band limiting is on, so the streamed fresh-row block
+    index n_diag*g - o(g) stays a whole block).
     """
-    t_tiles = sd.shape[0]
+    mp1 = shape[0]
+    band_classes = _band_classes(mp1) if band else ()
+    if band_classes and 32 % n_diag:
+        raise ValueError(
+            f"n_diag={n_diag} must divide 32 under band limiting"
+        )
+    t_tiles = slab.shape[0]
     kernel = functools.partial(
         _kernel, go=gap_open, ge=gap_ext, shape=shape,
         i16=i16, n_diag=n_diag, n_cols=n_cols,
-        band_classes=_band_classes(shape[0]) if band else (),
+        band_classes=band_classes,
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
@@ -501,13 +546,29 @@ def _run_kernel(
     vec = lambda: pl.BlockSpec(  # noqa: E731
         (1,) + vshape, lambda t, g: (t, 0, 0), memory_space=pltpu.VMEM
     )
+
+    def bstr_index(t, g):
+        # fresh rows for this step start at diagonal-index n_diag*g -
+        # o(g); o is a 32-aligned pure function of g (shared helper), so
+        # the offset is always a whole n_diag group.  bstream is viewed
+        # as [T, D/n_diag, n_diag, B] so the block's minor dims equal
+        # the array dims (the TPU lowering requires minor block dims
+        # divisible by (8, 128) or whole)
+        _, o = _band_select(g, n_diag, mp1, n_cols, band_classes)
+        return (t, g - o // n_diag, 0, 0)
+
     return pl.pallas_call(
         kernel,
         grid=(t_tiles, d_total // n_diag),
         in_specs=[
             pl.BlockSpec(
-                (1, n_diag) + shape,
-                lambda t, g: (t, g, 0, 0),
+                (1, 8) + shape,
+                lambda t, g: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, n_diag, shape[1]),
+                bstr_index,
                 memory_space=pltpu.VMEM,
             ),
             vec(),
@@ -522,10 +583,18 @@ def _run_kernel(
             score_plane(),  # ix_b
             score_plane(),  # iy_b
             stat_plane(),  # s_b
+            stat_plane(),  # c_pl
             pltpu.VMEM(vshape, jnp.int32),  # cap
         ],
         interpret=interpret,
-    )(sd, alen, fd)
+    )(
+        slab,
+        bstream.reshape(
+            t_tiles, d_total // n_diag, n_diag, shape[1]
+        ),
+        alen,
+        fd,
+    )
 
 
 @functools.partial(
@@ -550,11 +619,10 @@ def nw_similarity_tiles_pallas(
 
     End-to-end all-pairs time is dominated by per-launch dispatch cost
     (each launch pays a host->device RPC); folding the tile loop into
-    the Pallas grid amortises it across the whole sweep.  The score
-    prepass runs under ``lax.map`` so its [M, N, B] intermediates stay
-    per-tile.  ``layout`` is kept for API compatibility; every length
-    regime now uses the pairs-on-lanes layout (see
-    nw_similarity_batch_pallas).  Returns [T, B] (matches, length).
+    the Pallas grid amortises it across the whole sweep.  ``layout`` is
+    kept for API compatibility; every length regime uses the
+    pairs-on-lanes layout (see nw_similarity_batch_pallas).  Returns
+    [T, B] (matches, length).
     """
     del layout  # single layout since the minor-axis-preserving prepass
     t_tiles, bsz, m = a_idx.shape
@@ -567,22 +635,21 @@ def nw_similarity_tiles_pallas(
     mp1 = m + 1
     d_total = m + n
     nd = _diags_per_step()
-    pad_d = -d_total % nd
+    d_pad = d_total + (-d_total % nd)
 
-    def pack(args):
-        ai, bi = args
-        sd = _pack_score_diagonals(
-            ai.astype(jnp.int32), bi.astype(jnp.int32), sub
-        )
-        if pad_d:
-            sd = jnp.pad(sd, ((0, pad_d), (0, 0), (0, 0)))
-        return sd
-
-    sd = jax.lax.map(pack, (a_idx, b_idx))  # [T, D, Mp1, B]
+    # lax.map keeps the per-tile one-hot/einsum intermediates bounded
+    # (vmap would materialize all T tiles' [M, 32, B] rows at once)
+    slab, bstream = jax.lax.map(
+        lambda args: _score_slab(
+            args[0].astype(jnp.int32), args[1].astype(jnp.int32),
+            sub, d_pad,
+        ),
+        (a_idx, b_idx),
+    )  # [T, 8, Mp1, B], [T, Dpad, B]
     alen = a_len.astype(jnp.int32).reshape(t_tiles, 1, bsz)
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
-        sd, alen, fd, (mp1, bsz), d_total + pad_d, gap_open, gap_ext,
+        slab, bstream, alen, fd, (mp1, bsz), d_pad, gap_open, gap_ext,
         interpret, score_i16, nd, n, _band_enabled(mp1),
     )
     packed = out[:, 0, :]  # [T, B]

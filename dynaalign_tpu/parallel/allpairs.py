@@ -31,7 +31,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import nw_batch, pick_nw_backend
+from ..ops import nw_batch_tiled, nw_i16_ok, pick_nw_backend
 from .mesh import COLS, ROWS, make_mesh
 
 __all__ = [
@@ -64,17 +64,25 @@ def _put(arr, mesh: Mesh, spec: P):
     )
 
 
-def pick_group_batch(npairs: int, ndev: int, max_batch: int) -> int:
+def pick_group_batch(
+    npairs: int, ndev: int, max_batch: int, pallas_ok: bool = False
+) -> int:
     """Pair-batch size for one bucket-pair group: the largest candidate
     that minimises padded slots (the grid quantum is ndev * batch pairs,
-    so small groups take smaller batches)."""
+    so small groups take smaller batches).
+
+    When the bucket-pair shape is Pallas-eligible (``pallas_ok``), only
+    128-multiple batches are considered: a sub-128 batch would fail
+    pick_nw_backend's lane check and silently drop the whole group to
+    the scan backend — trading 2-4x padding inside the fast kernel for
+    losing the kernel altogether.
+    """
 
     def slots(b):
         return -(-npairs // (ndev * b)) * ndev * b
 
-    cands = [
-        b for b in (256, 128, 64, 32) if b <= max_batch
-    ] or [max_batch]
+    sizes = (256, 128) if pallas_ok else (256, 128, 64, 32)
+    cands = [b for b in sizes if b <= max_batch] or [max_batch]
     best = min(slots(b) for b in cands)
     return next(b for b in cands if slots(b) == best)
 
@@ -166,9 +174,18 @@ def sharded_minhash_similarity(
     return sims
 
 
+# how many pair tiles each device folds into one kernel launch inside
+# the sharded sweep (bounds the per-launch scoring-input HBM footprint;
+# the Pallas grid's tile axis runs them back-to-back in one dispatch)
+_SHARDED_GROUP = 8
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "tile", "gap_open", "gap_ext", "backend"),
+    static_argnames=(
+        "mesh", "tile", "gap_open", "gap_ext", "backend", "score_i16",
+        "group",
+    ),
 )
 def _nw_tiles_sharded(
     seq_idx: jnp.ndarray,  # int32 [N, L] (replicated)
@@ -182,34 +199,52 @@ def _nw_tiles_sharded(
     gap_open: int,
     gap_ext: int,
     backend: str = "auto",
+    score_i16: bool = False,
+    group: int = _SHARDED_GROUP,
 ):
-    """Sweep T pair-tiles over the flattened mesh; T % ndev == 0.
+    """Sweep T pair-tiles over the flattened mesh; T % (ndev*group) == 0.
 
-    Returns (matches, length) int32 [T, t, t].
+    Each device runs the SAME stacked/banded/i16 Pallas sweep as the
+    single-chip driver (``nw_batch_tiled``), ``group`` tiles per launch,
+    so per-chip throughput matches the direct path.  Returns
+    (matches, length) int32 [T, t, t].
     """
 
     def device_fn(seqs, lens, submat, t_rows, t_cols):
-        # t_rows: [T/ndev, t] local tile list
-        def one_tile(args):
-            rows, cols = args
-            a = jnp.take(seqs, rows, axis=0)
-            la = jnp.take(lens, rows)
-            b = jnp.take(seqs, cols, axis=0)
-            lb = jnp.take(lens, cols)
-            a = jnp.repeat(a, tile, axis=0)
-            la = jnp.repeat(la, tile)
-            b = jnp.tile(b, (tile, 1))
-            lb = jnp.tile(lb, (tile,))
-            res = nw_batch(
-                a, la, b, lb, submat,
+        # t_rows: [T/ndev, t] local tile list, regrouped into stacks of
+        # `group` tiles; each stack is ONE tiled-kernel launch
+        def one_group(args):
+            rows, cols = args  # [group, t]
+            a = jnp.take(seqs, rows.reshape(-1), axis=0).reshape(
+                group, tile, -1
+            )
+            la = jnp.take(lens, rows.reshape(-1)).reshape(group, tile)
+            b = jnp.take(seqs, cols.reshape(-1), axis=0).reshape(
+                group, tile, -1
+            )
+            lb = jnp.take(lens, cols.reshape(-1)).reshape(group, tile)
+            res = nw_batch_tiled(
+                jnp.repeat(a, tile, axis=1),
+                jnp.repeat(la, tile, axis=1),
+                jnp.tile(b, (1, tile, 1)),
+                jnp.tile(lb, (1, tile)),
+                submat,
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+                score_i16=score_i16,
             )
             return (
-                res.matches.reshape(tile, tile),
-                res.length.reshape(tile, tile),
+                res.matches.reshape(group, tile, tile),
+                res.length.reshape(group, tile, tile),
             )
 
-        return jax.lax.map(one_tile, (t_rows, t_cols))
+        t_local = t_rows.shape[0]
+        g_rows = t_rows.reshape(t_local // group, group, tile)
+        g_cols = t_cols.reshape(t_local // group, group, tile)
+        mt, ln = jax.lax.map(one_group, (g_rows, g_cols))
+        return (
+            mt.reshape(t_local, tile, tile),
+            ln.reshape(t_local, tile, tile),
+        )
 
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
     fn = shard_map(
@@ -251,8 +286,10 @@ def sharded_nw_allpairs(
     tiles = [
         (bi, bj) for bi in range(nb) for bj in range(bi, nb)
     ]
-    # pad tile list to a device multiple (dummy tiles recompute tile 0)
-    while len(tiles) % ndev:
+    # pad tile list to a whole (device, launch-group) grid (dummy tiles
+    # recompute tile 0)
+    group = min(_SHARDED_GROUP, max(len(tiles) // ndev, 1))
+    while len(tiles) % (ndev * group):
         tiles.append((0, 0))
     t_arr = np.asarray(tiles, dtype=np.int32)
     # round-robin by interleaving so each device gets an even spread
@@ -265,6 +302,12 @@ def sharded_nw_allpairs(
     tile_cols = ids.reshape(nb, tile)[t_arr[:, 1]]
 
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
+    chosen = pick_nw_backend(
+        seq_idx.shape[1], seq_idx.shape[1], backend, bsz=tile * tile
+    )
+    i16 = chosen.startswith("pallas") and nw_i16_ok(
+        seq_idx.shape[1], seq_idx.shape[1], gap_open, gap_ext, sub
+    )
     mt, ln = _nw_tiles_sharded(
         _put(np.asarray(seq_idx, np.int32), flat, P()),
         _put(np.asarray(lengths, np.int32), flat, P()),
@@ -275,9 +318,9 @@ def sharded_nw_allpairs(
         tile=tile,
         gap_open=gap_open,
         gap_ext=gap_ext,
-        backend=pick_nw_backend(
-            seq_idx.shape[1], seq_idx.shape[1], backend
-        ),
+        backend=chosen,
+        score_i16=i16,
+        group=group,
     )
     mt = _fetch_global(mt)[inv_order]
     ln = _fetch_global(ln)[inv_order]
@@ -302,7 +345,10 @@ def sharded_nw_allpairs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "batch", "gap_open", "gap_ext", "backend"),
+    static_argnames=(
+        "mesh", "batch", "gap_open", "gap_ext", "backend", "score_i16",
+        "group",
+    ),
 )
 def _nw_pairs_sharded(
     seq_a: jnp.ndarray,  # int32 [Na, La] (replicated)
@@ -318,23 +364,47 @@ def _nw_pairs_sharded(
     gap_open: int,
     gap_ext: int,
     backend: str,
+    score_i16: bool = False,
+    group: int = _SHARDED_GROUP,
 ):
-    """Sweep T explicit-pair batches over the flattened mesh; T % ndev == 0.
+    """Sweep T explicit-pair batches over the flattened mesh;
+    T % (ndev*group) == 0.
 
-    Returns (matches, length) int32 [T, batch].
+    Per-device compute goes through the same stacked/banded/i16 tiled
+    kernel as the single-chip bucketed driver.  Returns (matches,
+    length) int32 [T, batch].
     """
 
     def device_fn(sa, la, sb, lb, submat, r, c):
-        def one(args):
-            rr, cc = args
-            res = nw_batch(
-                jnp.take(sa, rr, axis=0), jnp.take(la, rr),
-                jnp.take(sb, cc, axis=0), jnp.take(lb, cc), submat,
+        def one_group(args):
+            rr, cc = args  # [group, batch]
+            res = nw_batch_tiled(
+                jnp.take(sa, rr.reshape(-1), axis=0).reshape(
+                    group, batch, -1
+                ),
+                jnp.take(la, rr.reshape(-1)).reshape(group, batch),
+                jnp.take(sb, cc.reshape(-1), axis=0).reshape(
+                    group, batch, -1
+                ),
+                jnp.take(lb, cc.reshape(-1)).reshape(group, batch),
+                submat,
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
+                score_i16=score_i16,
             )
             return res.matches, res.length
 
-        return jax.lax.map(one, (r, c))
+        t_local = r.shape[0]
+        mt, ln = jax.lax.map(
+            one_group,
+            (
+                r.reshape(t_local // group, group, batch),
+                c.reshape(t_local // group, group, batch),
+            ),
+        )
+        return (
+            mt.reshape(t_local, batch),
+            ln.reshape(t_local, batch),
+        )
 
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
     fn = shard_map(
@@ -374,6 +444,7 @@ def sharded_nw_allpairs_bucketed(
 
     Returns float64 [N, N].
     """
+    from ..api import PALLAS_BUCKET_EDGES
     from ..encode import bucket_by_length
 
     seqs = list(sequences)
@@ -384,10 +455,13 @@ def sharded_nw_allpairs_bucketed(
         mesh = make_mesh()
     ndev = mesh.devices.size
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
-    kwargs = {} if bucket_edges is None else {
-        "bucket_edges": tuple(bucket_edges)
-    }
-    buckets = bucket_by_length(seqs, **kwargs)
+    # default to the Pallas-aligned edges ((edge+1) % 8 == 0) —
+    # bucket_by_length's own power-of-two defaults would make every
+    # bucket shape Pallas-ineligible and silently drop each group to
+    # the scan backend on TPU
+    if bucket_edges is None:
+        bucket_edges = PALLAS_BUCKET_EDGES
+    buckets = bucket_by_length(seqs, bucket_edges=tuple(bucket_edges))
     which = np.zeros(n, dtype=np.int64)
     local = np.zeros(n, dtype=np.int64)
     devs = []
@@ -429,9 +503,14 @@ def sharded_nw_allpairs_bucketed(
         # quantum is ndev * batch_g pairs, so small groups take smaller
         # batches (each batch size is one extra compiled shape, but the
         # candidate set is tiny and shared across groups).
-        batch_g = pick_group_batch(npairs, ndev, batch)
+        pallas_ok = pick_nw_backend(
+            buckets[ba][1].max_len, buckets[bb][1].max_len, backend,
+            bsz=128,
+        ).startswith("pallas")
+        batch_g = pick_group_batch(npairs, ndev, batch, pallas_ok)
         t_batches = max(-(-npairs // batch_g), 1)
-        t_batches = -(-t_batches // ndev) * ndev
+        group_g = min(_SHARDED_GROUP, max(t_batches // ndev, 1))
+        t_batches = -(-t_batches // (ndev * group_g)) * ndev * group_g
         pad = t_batches * batch_g
         rows = np.pad(rows, (0, pad - npairs)).reshape(
             t_batches, batch_g
@@ -448,13 +527,19 @@ def sharded_nw_allpairs_bucketed(
         seq_b, len_b = devs[bb]
         m_a = buckets[ba][1].max_len
         m_b = buckets[bb][1].max_len
+        chosen = pick_nw_backend(m_a, m_b, backend, bsz=batch_g)
+        i16 = chosen.startswith("pallas") and nw_i16_ok(
+            m_a, m_b, gap_open, gap_ext, sub
+        )
         mt, ln = _nw_pairs_sharded(
             seq_a, len_a, seq_b, len_b, sub_dev,
             _put(rows[order], flat, P("d")),
             _put(cols[order], flat, P("d")),
             mesh=mesh, batch=batch_g, gap_open=gap_open,
             gap_ext=gap_ext,
-            backend=pick_nw_backend(m_a, m_b, backend, bsz=batch_g),
+            backend=chosen,
+            score_i16=i16,
+            group=group_g,
         )
         pending.append((gi, gj, npairs, inv_order, mt, ln))
     for gi, gj, npairs, inv_order, mt, ln in pending:

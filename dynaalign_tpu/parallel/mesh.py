@@ -36,9 +36,16 @@ def distributed_init(
         return
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=(
+            num_processes
+            if num_processes is not None
+            else int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        ),
+        process_id=(
+            process_id
+            if process_id is not None
+            else int(os.environ.get("JAX_PROCESS_ID", "0"))
+        ),
     )
 
 
