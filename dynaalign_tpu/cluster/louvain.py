@@ -65,6 +65,105 @@ def modularity(
     )
 
 
+# above this node count the first sweep runs vectorized synchronous
+# passes (the per-node Python loop costs ~10s at 100k nodes; the
+# aggregated levels after it are small enough for the exact greedy)
+_SYNC_THRESHOLD = 20_000
+
+
+def _one_level_synchronous(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    strengths: np.ndarray,
+    two_m: float,
+    resolution: float,
+    rng: np.random.Generator,
+    max_passes: int = 24,
+) -> np.ndarray:
+    """Vectorized phase 1 for large graphs: every pass computes ALL
+    nodes' best-gain moves against the current (frozen) assignment in
+    O(E log E) numpy work, then applies a random subset of the
+    improving moves (the stochastic damping prevents the two-node swap
+    oscillations synchronous label updating is prone to).  Returns a
+    community assignment for the aggregation step — the exact greedy
+    refinement then runs on the (much smaller) aggregated graph.
+    """
+    n = len(indptr) - 1
+    comm = np.arange(n, dtype=np.int64)
+    gamma = resolution
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    keep = row != indices  # self-loops don't count toward move gains
+    row = row[keep]
+    col = indices[keep]
+    w = data[keep]
+
+    for _ in range(max_passes):
+        sum_tot = np.bincount(comm, weights=strengths, minlength=n)
+        # group edge weight by (node, neighbor community); rows are
+        # already contiguous (CSR expansion), so the sorted key leaves
+        # every node's groups contiguous too
+        tc = comm[col]
+        key = row * np.int64(n) + tc
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        ws = w[order]
+        starts = np.concatenate(([0], np.nonzero(ks[1:] != ks[:-1])[0] + 1))
+        w_to = np.add.reduceat(ws, starts)
+        gk = ks[starts]
+        gv = gk // n
+        gc = gk % n
+        kv = strengths[gv]
+        # gain of v joining C, with v removed from its own community
+        tot_c = sum_tot[gc] - np.where(gc == comm[gv], kv, 0.0)
+        gains = w_to - gamma * kv * tot_c / two_m
+        # stay gain per node: the group where C == comm[v] (0 if no
+        # neighbor remains there), floored at the empty-community 0
+        stay = np.zeros(n)
+        own = gc == comm[gv]
+        stay[gv[own]] = gains[own]
+        stay = np.maximum(stay, 0.0)
+        # per-node argmax: node segments are contiguous in the group
+        # arrays, so a maximum.reduceat + first-match scan avoids a
+        # second sort
+        nb = np.concatenate(
+            ([0], np.nonzero(gv[1:] != gv[:-1])[0] + 1)
+        )
+        seg_max = np.maximum.reduceat(gains, nb)
+        seg_id = np.cumsum(
+            np.concatenate(([0], (gv[1:] != gv[:-1]).astype(np.int64)))
+        )
+        is_best = gains == seg_max[seg_id]
+        # first best entry of each segment
+        first_best = is_best & np.concatenate(
+            ([True], ~(is_best[:-1] & (gv[1:] == gv[:-1])))
+        )
+        # (a segment may contain several best-tied groups; keep the
+        # first occurrence per node)
+        fb_idx = np.nonzero(first_best)[0]
+        fb_v = gv[fb_idx]
+        keep_first = np.concatenate(([True], fb_v[1:] != fb_v[:-1]))
+        fb_idx = fb_idx[keep_first]
+        best_v = gv[fb_idx]
+        best_c = gc[fb_idx]
+        best_g = gains[fb_idx]
+        improving = (best_g > stay[best_v] + 1e-12) & (
+            best_c != comm[best_v]
+        )
+        cand = best_v[improving]
+        if len(cand) == 0:
+            break
+        # stochastic damping: each improving node moves with prob 0.8
+        # (full synchronous updates oscillate on two-node swaps)
+        sel = rng.random(len(cand)) < 0.8
+        if not np.any(sel):
+            continue
+        comm[cand[sel]] = best_c[improving][sel]
+        if len(cand) < max(n // 1000, 1):
+            break
+    return comm
+
+
 def _one_level(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -155,10 +254,16 @@ def louvain(
         two_m = strengths.sum()
         if two_m == 0:
             break
-        comm = _one_level(
-            A.indptr, A.indices, A.data, self_w, strengths, two_m,
-            resolution, rng,
-        )
+        if A.shape[0] > _SYNC_THRESHOLD:
+            comm = _one_level_synchronous(
+                A.indptr, A.indices, A.data, strengths, two_m,
+                resolution, rng,
+            )
+        else:
+            comm = _one_level(
+                A.indptr, A.indices, A.data, self_w, strengths, two_m,
+                resolution, rng,
+            )
         uniq, dense = np.unique(comm, return_inverse=True)
         n_comms = len(uniq)
         mapping = dense[mapping]

@@ -42,15 +42,57 @@ def test_mh_bit_exact_on_peparray():
     np.testing.assert_array_equal(got, want)
 
 
-def test_mh_nw_correlation_long_sequences():
-    """MH similarity must correlate with exact NW on real HA proteins
-    (the reference's accuracy protocol, workspace/troyWspc.Rmd:41-133)."""
-    seqs = load_sequences("h3n2sample", limit=30)
-    mh = similarity_mh(seqs, k=4, n_hash=200, seed=0)
+@pytest.mark.parametrize(
+    "dataset,limit,k,n_hash,r_med,r_min",
+    [
+        # long regime: ~566 aa H3N2 HA proteins (troyWspc.Rmd:106-133)
+        ("h3n2sample", 30, 4, 200, 0.60, 0.50),
+        # short regime: 12-mer peptide-array probes (troyWspc.Rmd:41-95;
+        # the reference used ~12 aa herpesvirus probes — stripped
+        # upstream, peparray panels are the SURVEY §6 substitute).
+        # 12-mers share few 4-mers unless related, so the correlation
+        # is real but weaker — regime-appropriate thresholds.
+        ("evp_peparray", 120, 4, 200, 0.30, 0.20),
+    ],
+)
+def test_mh_nw_correlation_two_regimes(
+    dataset, limit, k, n_hash, r_med, r_min
+):
+    """MH similarity must correlate with exact NW in BOTH length regimes
+    across >= 10 hash-family seeds (the reference's 50-replicate
+    accuracy protocol, workspace/troyWspc.Rmd:41-133, promoted into the
+    suite with regime-appropriate thresholds)."""
+    seqs = load_sequences(dataset, limit=limit)
     nw = oracle.nw_similarity(seqs, n_threads=0)
     iu = np.triu_indices(len(seqs), k=1)
-    r = np.corrcoef(mh[iu], nw[iu])[0, 1]
-    assert r > 0.5, f"MH-NW Pearson correlation too low: {r:.3f}"
+    rs = []
+    for seed in range(10):
+        mh = similarity_mh(seqs, k=k, n_hash=n_hash, seed=seed)
+        rs.append(float(np.corrcoef(mh[iu], nw[iu])[0, 1]))
+    rs = np.asarray(rs)
+    assert np.median(rs) > r_med, f"median Pearson {np.median(rs):.3f}"
+    assert rs.min() > r_min, f"worst-seed Pearson {rs.min():.3f}"
+
+
+def test_mh_nw_mantel_long_sequences():
+    """Mantel permutation test (troyWspc.Rmd:273-289): the MH/NW matrix
+    correlation must be significant against the null of permuted
+    sequence identities (joint row+column permutation)."""
+    seqs = load_sequences("h3n2sample", limit=30)
+    n = len(seqs)
+    mh = similarity_mh(seqs, k=4, n_hash=200, seed=0)
+    nw = oracle.nw_similarity(seqs, n_threads=0)
+    iu = np.triu_indices(n, k=1)
+    r_obs = np.corrcoef(mh[iu], nw[iu])[0, 1]
+    rng = np.random.default_rng(0)
+    n_perm = 499
+    hits = 0
+    for _ in range(n_perm):
+        p = rng.permutation(n)
+        r_p = np.corrcoef(mh[np.ix_(p, p)][iu], nw[iu])[0, 1]
+        hits += r_p >= r_obs
+    p_val = (hits + 1) / (n_perm + 1)
+    assert p_val <= 0.01, f"Mantel p-value {p_val:.4f} (r_obs={r_obs:.3f})"
 
 
 def test_consensus_column_agreement_h3n2():
