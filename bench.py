@@ -26,12 +26,9 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from dynaalign_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from dynaalign_tpu import oracle
     from dynaalign_tpu.api import similarity_nw
@@ -88,6 +85,32 @@ def main():
         nw_i16_ok(pad, pad, 10, 4, blosum.get_matrix("BLOSUM62"))
     )
 
+    # --- sharded driver on a 1x1 mesh: shard_map + Pallas on the real
+    # chip (the multi-chip code path, proven on the hardware we have) ---
+    from jax.sharding import Mesh
+
+    from dynaalign_tpu.encode import encode
+    from dynaalign_tpu.parallel import sharded_nw_allpairs
+
+    mesh_1x1 = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("rows", "cols")
+    )
+    enc = encode(seqs, pad_to=pad)
+    sub = blosum.get_matrix("BLOSUM62")
+
+    def run_sharded():
+        return sharded_nw_allpairs(
+            enc.indices, enc.lengths, sub, tile=16, mesh=mesh_1x1
+        )
+
+    sh_sims = run_sharded()  # compile + first run
+    sh_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sh_sims = run_sharded()
+        sh_time = min(sh_time, time.perf_counter() - t0)
+    sharded_ok = bool(np.array_equal(sh_sims, sims))
+
     result = {
         "metric": "nw_allpairs_pairs_per_sec",
         "value": round(tpu_pairs_per_sec, 2),
@@ -102,6 +125,9 @@ def main():
         "bit_exact_vs_oracle": ok,
         "short_kernel_bit_exact": short_ok,
         "i16_planes_enabled": i16_on,
+        "sharded_1x1_bit_exact": sharded_ok,
+        "sharded_pairs_per_sec": round(n_pairs / sh_time, 2),
+        "sharded_vs_direct": round(tpu_time / sh_time, 3),
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
     }

@@ -31,6 +31,10 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+from dynaalign_tpu.utils import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def _emit(result: dict) -> None:
     print(json.dumps(result), flush=True)
@@ -96,9 +100,13 @@ def bench_clusterbreak(args) -> None:
     from dynaalign_tpu.consensus import cluster_consensus
     from dynaalign_tpu.io.datasets import load_sequences
 
-    seqs = list(dict.fromkeys(
-        load_sequences("h3n2sample", limit=args.cb_limit)
-    ))
+    seqs = list(load_sequences("h3n2sample", limit=args.cb_limit))
+    if args.cb_dedupe:
+        # distinct membership rows (faster; clusterbreak's partition of
+        # duplicates is determined by their exemplar).  --cb-no-dedupe
+        # carries duplicate rows through the whole pipeline exactly as
+        # the reference would (R/clusterbreak.R:180-275).
+        seqs = list(dict.fromkeys(seqs))
     t0 = time.perf_counter()
     result = clusterbreak(
         seqs, thresh_p=0.8, size_max=800, size_min=3,
@@ -119,6 +127,7 @@ def bench_clusterbreak(args) -> None:
         "unit": "seqs/s",
         "vs_baseline": None,
         "n_seqs": len(seqs),
+        "dedupe": bool(args.cb_dedupe),
         "n_clusters": len(cons),
         "n_filtered": len(result.filtered_seq),
         "converged": result.converged,
@@ -240,9 +249,11 @@ def bench_topk_large(args) -> None:
     else:
         seqs = seqs[: args.large_n] if args.large_n else seqs
     n = len(seqs)
+    stage_s: dict = {}
     t0 = time.perf_counter()
     membership = cluster_large(
-        seqs, k=4, n_hash=50, seed=0, top_k=32, thresh_p=0.8
+        seqs, k=4, n_hash=50, seed=0, top_k=32, thresh_p=0.8,
+        timings=stage_s,
     )
     dt = time.perf_counter() - t0
     n_clusters = int(len(np.unique(membership)))
@@ -254,6 +265,8 @@ def bench_topk_large(args) -> None:
         "n_seqs": n,
         "n_clusters": n_clusters,
         "total_seconds": round(dt, 1),
+        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()},
+        "louvain_share": round(stage_s.get("louvain", 0.0) / dt, 3),
         "note": "dense [N,N] would need "
         f"{n * n * 8 / 1e9:.1f} GB; top-k graph avoids it",
     })
@@ -371,6 +384,10 @@ def main(argv=None) -> int:
     p.add_argument("--nw-limit", type=int, default=128)
     p.add_argument("--baseline-limit", type=int, default=24)
     p.add_argument("--cb-limit", type=int, default=1000)
+    p.add_argument("--cb-no-dedupe", dest="cb_dedupe",
+                   action="store_false",
+                   help="carry duplicate rows through clusterbreak "
+                        "exactly as the reference would")
     p.add_argument("--panel-limit", type=int, default=300)
     p.add_argument("--scale-n", type=int, default=2048)
     p.add_argument("--scale-reps", type=int, default=3)

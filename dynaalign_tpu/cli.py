@@ -255,6 +255,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # persistent compile cache: the Pallas NW kernels cost minutes to
+    # compile cold (band classes x shapes); cache so each shape pays
+    # once per machine (utils/compile_cache.py)
+    from .utils import enable_persistent_cache
+
+    enable_persistent_cache()
     # multi-host runs: wire this process into the global runtime before
     # any backend init (no-op unless JAX_COORDINATOR is set)
     from .parallel import distributed_init

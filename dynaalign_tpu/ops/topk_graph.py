@@ -124,27 +124,45 @@ def cluster_large(
     resolution: float = 1.05,
     louvain_seed: int = 0,
     chunk: int = 2048,
+    timings: dict | None = None,
 ) -> np.ndarray:
     """Large-N MinHash clustering without a dense matrix.
 
     signatures → per-row top-k graph → quantile threshold over observed
     edge weights → Louvain.  Returns a 1-based membership vector,
     API-compatible with :func:`dynaalign_tpu.cluster.netcluster`.
+
+    Pass a dict as ``timings`` to receive per-stage wall-clock seconds
+    (keys: ``signatures``, ``topk``, ``graph``, ``louvain``).
     """
+    import time
+
     from ..cluster.louvain import louvain
     from ..encode import encode
 
     seqs = list(sequences)
     enc = encode(seqs, validate=False)
+    t0 = time.perf_counter()
     sigs = minhash_signatures(
         enc.ascii, enc.lengths, k=k, n_hash=n_hash, seed=seed, chunk=chunk
     )
+    sigs = np.asarray(sigs)  # fetch = sync point for the timing split
+    t1 = time.perf_counter()
     vals, idx = minhash_topk(sigs, k=top_k)
+    t2 = time.perf_counter()
     pos = vals[vals > 0]
     t = float(np.quantile(pos, thresh_p)) if pos.size else 0.0
     adj = knn_graph(vals, idx, threshold=t)
     # keep self-loops like the dense path (unit diagonal)
     adj = adj + sparse.eye(adj.shape[0], format="csr")
-    return louvain(
+    t3 = time.perf_counter()
+    membership = louvain(
         adj, resolution=resolution, seed=louvain_seed
     ).membership + 1
+    t4 = time.perf_counter()
+    if timings is not None:
+        timings.update(
+            signatures=t1 - t0, topk=t2 - t1, graph=t3 - t2,
+            louvain=t4 - t3,
+        )
+    return membership
