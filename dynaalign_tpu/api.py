@@ -90,10 +90,14 @@ def similarity_mh(
     n_hash: int = 50,
     *,
     seed: int = 0,
-    chunk: int = 512,
+    chunk: int | None = None,
     block: int = 256,
 ) -> np.ndarray:
     """MinHash Jaccard-estimate similarity matrix (reference similarityMH).
+
+    ``chunk=None`` auto-sizes the signature-build chunks to HBM
+    (ops.minhash.minhash_signatures); the fused single-dispatch path is
+    taken below 1,024 sequences regardless.
 
     Validation mirrors src/minHash.cpp:121-131 (nonempty, k > 0,
     n_hash > 0).  Unlike the reference the result is reproducible: the
@@ -109,7 +113,8 @@ def similarity_mh(
     enc = encode(sequences, validate=False)  # MH hashes raw bytes; any
     # character is hashable (the reference accepts arbitrary strings too)
     n = enc.n
-    if n <= 2 * chunk and enc.max_len >= k:
+    fuse_below = 2 * chunk if chunk is not None else 1024
+    if n <= fuse_below and enc.max_len >= k:
         # small workloads: one fused dispatch (signatures + agreement)
         # instead of several round trips under the TPU relay
         from .ops.minhash import _fused_mh_kernel

@@ -60,12 +60,16 @@ def minhash_signatures(
     k: int = 4,
     n_hash: int = 50,
     seed: int = 0,
-    chunk: int = 512,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """MinHash signatures [N, H] for a padded ascii batch.
 
-    Chunked over sequences so the [chunk, P, H] hash tensor stays well under
-    HBM limits for long-sequence workloads.
+    Chunked over sequences so the [chunk, P, H] hash tensor stays well
+    under HBM limits for long-sequence workloads.  ``chunk=None``
+    (default) sizes chunks to a ~64 MB hash tensor, rounded to a power
+    of two in [512, 65536] so the compiled-shape family stays small —
+    short peptides take few large dispatches, long proteins many small
+    ones.
     """
     if k <= 0:
         raise ValueError("'k' must be a positive integer")
@@ -77,23 +81,41 @@ def minhash_signatures(
     if length < k:
         # every sequence is shorter than k: all-max signatures
         return jnp.full((n, n_hash), _UINT32_MAX, dtype=jnp.uint32)
+    if chunk is None:
+        p = length - k + 1
+        fit = (64 << 20) // max(p * n_hash * 4, 1)
+        chunk = int(np.clip(1 << max(fit, 1).bit_length() - 1, 512, 65536))
     seeds = jnp.asarray(hash_family_seeds(n_hash, seed))
     if n <= chunk:
         return _signatures_kernel(ascii_tokens, lengths, seeds, k=k)
-    outs = []
-    # pad N to a chunk multiple so every chunk compiles to one shape
+    # Chunk on the HOST (numpy) and feed every chunk through the SAME
+    # [chunk, L] program.  Device-side slicing (`arr[s:s+chunk]`) makes
+    # one XLA slice program per distinct offset — ~32 compile RPCs under
+    # the TPU relay for a 65k set, 156s cold vs 0.5s hot.  (lax.map over
+    # a reshaped [n_chunks, chunk, L] is worse still: the relay takes
+    # >15 min to compile the loop.)  Host transfers are trivial (bytes).
+    ascii_np = np.asarray(ascii_tokens)
+    len_np = np.asarray(lengths)
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
-        ascii_tokens = jnp.pad(ascii_tokens, ((0, n_pad - n), (0, 0)))
-        lengths = jnp.pad(lengths, (0, n_pad - n))
-    for s in range(0, n_pad, chunk):
-        outs.append(
-            _signatures_kernel(
-                ascii_tokens[s : s + chunk], lengths[s : s + chunk],
-                seeds, k=k,
-            )
+        ascii_np = np.pad(ascii_np, ((0, n_pad - n), (0, 0)))
+        len_np = np.pad(len_np, (0, n_pad - n))
+    outs = [
+        _signatures_kernel(
+            jnp.asarray(ascii_np[s : s + chunk]),
+            jnp.asarray(len_np[s : s + chunk]),
+            seeds,
+            k=k,
         )
-    return jnp.concatenate(outs, axis=0)[:n]
+        for s in range(0, n_pad, chunk)
+    ]  # async dispatches of ONE compiled program
+    # assemble on host: a device-side concatenate would compile one
+    # program per distinct chunk COUNT (a new multi-minute relay RPC for
+    # every new N); per-chunk fetches are cheap and pipeline behind the
+    # dispatches above.  device_put of the result compiles nothing.
+    return jnp.asarray(
+        np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
+    )
 
 
 def _count_dtype(n_hash: int):

@@ -123,7 +123,7 @@ def cluster_large(
     thresh_p: float = 0.8,
     resolution: float = 1.05,
     louvain_seed: int = 0,
-    chunk: int = 2048,
+    chunk: int | None = None,
     timings: dict | None = None,
 ) -> np.ndarray:
     """Large-N MinHash clustering without a dense matrix.

@@ -52,7 +52,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     cache_dir = cache_dir or _default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache anything that took meaningful compile time (the Pallas NW
-    # kernels take minutes; even the scan fallback takes ~10s)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERYTHING: under the TPU relay even a sub-second compile
+    # costs a multi-second remote RPC, so "trivial" executables are
+    # exactly the ones a fresh process pays for over and over (measured:
+    # 65k-seq signature build, first call 156s cold vs 0.5s hot — all
+    # dispatch/compile RPCs, no compute)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return cache_dir

@@ -73,3 +73,33 @@ def test_cluster_large_families(rng):
         in_c = labels[member == c]
         purity += np.bincount(in_c).max()
     assert purity / len(seqs) > 0.8
+
+
+def test_cluster_large_timings(rng):
+    aas = list("ARNDCQEGHILKMFPSTWYV")
+    seqs = ["".join(rng.choice(aas, size=12)) for _ in range(40)]
+    stage_s: dict = {}
+    member = cluster_large(
+        seqs, k=2, n_hash=32, top_k=10, thresh_p=0.5, timings=stage_s
+    )
+    assert member.shape == (40,)
+    assert set(stage_s) == {"signatures", "topk", "graph", "louvain"}
+    assert all(v >= 0 for v in stage_s.values())
+
+
+def test_enable_persistent_cache(tmp_path):
+    import jax
+
+    from dynaalign_tpu.utils import enable_persistent_cache
+
+    target = str(tmp_path / "cache")
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        used = enable_persistent_cache(target)
+        assert used == target
+        assert jax.config.jax_compilation_cache_dir == target
+        import os
+
+        assert os.path.isdir(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -14,11 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-cache_dir = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-)
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from dynaalign_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
 
 from dynaalign_tpu import blosum, encode
 from dynaalign_tpu.io.datasets import load_sequences
@@ -29,7 +27,8 @@ def main():
     bsizes = [int(x) for x in sys.argv[1:]] or [256, 400, 512]
     seqs = load_sequences("h3n2sample", limit=64)
     max_len = max(len(s) for s in seqs)
-    pad_to = -(-(max_len + 1) // 128) * 128 - 1
+    # production padding (8-multiple sublanes, api.py long regime)
+    pad_to = -(-(max_len + 1) // 8) * 8 - 1
     enc = encode.encode(seqs, pad_to=pad_to)
     sub = jnp.asarray(blosum.get_matrix("BLOSUM62"))
     idx = jnp.asarray(enc.indices)
