@@ -1,5 +1,7 @@
 """MSA + consensus layer."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,28 @@ def test_msa_aligner_matches_oracle_related_pairs():
         assert _identity_from_gapped(a, b) == oracle.nw_pair(
             base, s2, "BLOSUM62", 10, 4
         )
+
+
+def test_native_row_dp_bit_identical_to_numpy():
+    """cpp/msa_dp.cpp must produce the exact numpy traceback (it
+    transcribes the same IEEE-double formulas), including on profile
+    scores with ties from identical sequences."""
+    from dynaalign_tpu.consensus import msa as msa_mod
+    from dynaalign_tpu.consensus._native import native_row_dp
+
+    if native_row_dp(np.zeros((2, 2)), 10.0, 4.0) is None:
+        pytest.skip("native MSA kernel unavailable")
+    rng = np.random.default_rng(11)
+    for m, n in [(1, 1), (5, 3), (40, 40), (64, 57), (200, 180)]:
+        for go, ge in [(10.0, 4.0), (12.0, 0.5)]:
+            # mix of smooth scores and exact-tie-prone integer scores
+            sr = rng.integers(-8, 12, size=(m, n)).astype(np.float64)
+            if rng.random() < 0.5:
+                sr += rng.normal(0, 0.25, size=(m, n)).round(2)
+            got = native_row_dp(sr, go, ge)
+            os.environ["DYNAALIGN_MSA_NATIVE"] = "0"
+            try:
+                want = msa_mod._row_dp(sr, go, ge)
+            finally:
+                del os.environ["DYNAALIGN_MSA_NATIVE"]
+            np.testing.assert_array_equal(got, want)

@@ -50,7 +50,18 @@ def sweep(sigs, sigs_t, *, k: int, block: int, variant: str):
             col_ids[None, :] == row_ids[:, None], jnp.int32(-1), counts
         )
         if variant.endswith("approx"):
-            vals, idx = jax.lax.approx_max_k(counts, k)
+            fv, idx = jax.lax.approx_max_k(
+                counts.astype(jnp.float32), k, recall_target=0.95
+            )
+            vals = fv.astype(jnp.int32)
+        elif variant.endswith("approx99"):
+            fv, idx = jax.lax.approx_max_k(
+                counts.astype(jnp.float32), k, recall_target=0.99
+            )
+            vals = fv.astype(jnp.int32)
+        elif variant.endswith("f32topk"):
+            fv, idx = jax.lax.top_k(counts.astype(jnp.float32), k)
+            vals = fv.astype(jnp.int32)
         elif variant.endswith("notopk"):
             vals = counts[:, :k]
             idx = jnp.broadcast_to(
@@ -83,8 +94,8 @@ def main():
     np.asarray(jnp.zeros(8) + 1)  # absorb relay warmup
 
     ref_vals = None
-    for variant in ("hminor", "nminor", "hminor_approx", "nminor_approx",
-                    "nminor_notopk"):
+    for variant in ("hminor", "hminor_f32topk", "hminor_approx",
+                    "hminor_approx99", "nminor_notopk"):
         try:
             t0 = time.perf_counter()
             vals, idx = sweep(
