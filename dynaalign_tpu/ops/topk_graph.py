@@ -44,7 +44,13 @@ def _topk_kernel(sigs: jnp.ndarray, *, k: int, block: int):
         counts = jnp.where(
             col_ids[None, :] == row_ids[:, None], jnp.int32(-1), counts
         )
-        vals, idx = jax.lax.top_k(counts, k)
+        # top_k on float32: ~3.3x faster than the int32 sort on TPU and
+        # exact — counts are small integers (<= n_hash << 2^24, so f32-
+        # representable) and lax.top_k's stable tie-break (lowest index
+        # first) is dtype-independent (tools/probe_topk.py: the int32
+        # sort was 92% of the whole agreement sweep)
+        fvals, idx = jax.lax.top_k(counts.astype(jnp.float32), k)
+        vals = fvals.astype(jnp.int32)
         vals_acc = jax.lax.dynamic_update_slice(
             vals_acc, vals, (i * block, 0)
         )

@@ -103,3 +103,18 @@ def test_enable_persistent_cache(tmp_path):
         assert os.path.isdir(target)
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_topk_f32_sort_exact_with_stable_ties(rng):
+    """The float32 top_k must select exactly what a stable descending
+    int sort would — including boundary ties (many equal counts around
+    the k-th slot) and index tie-break order."""
+    n, h, k = 96, 8, 7  # tiny h => heavy count collisions
+    sigs = rng.integers(0, 3, size=(n, h)).astype(np.uint32)
+    vals, idx = minhash_topk(sigs, k=k)
+    counts = (sigs[:, None, :] == sigs[None, :, :]).sum(-1).astype(np.int64)
+    np.fill_diagonal(counts, -1)
+    for i in range(n):
+        order = np.argsort(-counts[i], kind="stable")[:k]
+        np.testing.assert_array_equal(idx[i], order)
+        np.testing.assert_allclose(vals[i], np.maximum(counts[i][order], 0) / h)
