@@ -37,9 +37,13 @@ from .ops.minhash import minhash_signatures, signature_similarity
 PALLAS_BUCKET_EDGES = (
     15, 31, 63, 127, 255, 383, 511, 639, 767, 1023, 1535, 2047
 )
-# VMEM budget: 7 int32 state planes (plus Mosaic temporaries) must fit
-# scoped VMEM, so keep (DP rows + 1) * pair-batch under ~128k cells
-_SHORT_CELL_BUDGET = 131072
+# VMEM budget: state planes + the in-kernel substitution slab (32 bytes
+# per cell, ops/nw_pallas.py) + Mosaic temporaries must fit scoped VMEM.
+# The pre-round-3 budget of 128k cells overflowed once the slab moved
+# into VMEM: Mosaic measured 17.48 MB of stack at (mp1=17, B=8192)
+# against the 16 MB limit on the hybrid rescore path.  96k cells keeps
+# the same shape at ~13.1 MB with headroom for temporaries.
+_SHORT_CELL_BUDGET = 98304
 
 
 def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:
