@@ -47,7 +47,10 @@ def main():
 
     sims = run()  # compile + first run
     tpu_time = float("inf")
-    for _ in range(4):  # best-of-4 to damp relay/dispatch jitter
+    # best-of-6: relay load windows can inflate per-launch dispatch 10x
+    # for minutes at a time (docs/PERF.md "Measuring"), so take the
+    # minimum over enough reps to catch a gap when one opens
+    for _ in range(6):
         t0 = time.perf_counter()
         sims = run()
         tpu_time = min(tpu_time, time.perf_counter() - t0)

@@ -64,11 +64,12 @@ def _tiles_per_launch(
 
     Only the short regime stacks tiles: its per-tile kernel time is
     microseconds, so dispatch dominates and folding the tile loop into
-    the Pallas grid wins.  Long-regime tiles run ~7-9 ms each on device;
-    async per-call dispatch pipelines those launches, and an A/B probe
-    (tools/probe_tc.py: tc=1 16.6k pairs/s, tc=8 14.7k, tc=11 13.7k)
-    shows stacking only adds lax.map prepass serialization there —
-    override with DYNAALIGN_NW_TC to re-probe.
+    the Pallas grid wins.  Long-regime tiles run ~3 ms each on device;
+    async per-call dispatch pipelines those launches, and stacking
+    serializes them instead.  Re-probed after the round-3 in-kernel
+    score generation (same loaded relay window): tc=8 15.5k < tc=4
+    21.8k < tc=1 pairs/s — the round-2 conclusion holds without the
+    prepass too.  Override with DYNAALIGN_NW_TC to re-probe.
     """
     if not backend.startswith("pallas"):
         return 1
