@@ -88,6 +88,26 @@ def main():
         nw_i16_ok(pad, pad, 10, 4, blosum.get_matrix("BLOSUM62"))
     )
 
+    # f32-top_k tie-order canary on the REAL chip: the sparse graph path
+    # relies on lax.top_k breaking equal counts lowest-index-first, which
+    # is not a documented XLA contract on every backend (advisor r3);
+    # verify it here against a stable host-side sort
+    from dynaalign_tpu.ops.topk_graph import minhash_topk
+
+    trng = np.random.default_rng(7)
+    tsigs = trng.integers(0, 3, size=(96, 8)).astype(np.uint32)
+    _, tidx = minhash_topk(tsigs, k=7, block=32)
+    tcounts = (
+        (tsigs[:, None, :] == tsigs[None, :, :]).sum(-1).astype(np.int64)
+    )
+    np.fill_diagonal(tcounts, -1)
+    ties_ok = all(
+        np.array_equal(
+            tidx[i], np.argsort(-tcounts[i], kind="stable")[:7]
+        )
+        for i in range(96)
+    )
+
     # --- sharded driver on a 1x1 mesh: shard_map + Pallas on the real
     # chip (the multi-chip code path, proven on the hardware we have) ---
     from jax.sharding import Mesh
@@ -128,6 +148,7 @@ def main():
         "bit_exact_vs_oracle": ok,
         "short_kernel_bit_exact": short_ok,
         "i16_planes_enabled": i16_on,
+        "topk_f32_ties_stable": bool(ties_ok),
         "sharded_1x1_bit_exact": sharded_ok,
         "sharded_pairs_per_sec": round(n_pairs / sh_time, 2),
         "sharded_vs_direct": round(tpu_time / sh_time, 3),

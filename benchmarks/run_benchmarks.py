@@ -156,14 +156,27 @@ def bench_hybrid_panels(args) -> None:
     from dynaalign_tpu.models import similarity_hybrid
     from dynaalign_tpu.io.datasets import load_sequences
 
-    # bit-exactness: every rescored (nonzero off-diagonal) entry must
-    # equal the serial C++ oracle's percent identity
+    # bit-exactness over the FULL kept-pair set: recompute the MH
+    # prefilter's keep mask (deterministic under seed) and require every
+    # kept pair's hybrid entry to equal the serial C++ oracle — a
+    # rescored pair wrongly reported as 0, or a kept pair the rescore
+    # dropped, fails this check (a nonzero-entries-only comparison would
+    # not see either)
+    from dynaalign_tpu import similarity_mh
+
     check = load_sequences("adenovirus", limit=120)
     hyb = similarity_hybrid(check, k=4, n_hash=50, seed=0)
     ref = oracle.nw_similarity(check, n_threads=0)
-    ii, jj = np.nonzero(np.triu(hyb, k=1))
-    bit_exact = bool(len(ii)) and bool(
+    mh = similarity_mh(check, k=4, n_hash=50, seed=0)
+    iu = np.triu_indices(len(check), k=1)
+    keep = mh[iu] >= np.quantile(mh[iu], 0.8)
+    ii, jj = iu[0][keep], iu[1][keep]
+    dropped = np.ones((len(check), len(check)), dtype=bool)
+    dropped[ii, jj] = dropped[jj, ii] = False
+    np.fill_diagonal(dropped, False)
+    rescored_exact = bool(len(ii)) and bool(
         np.array_equal(hyb[ii, jj], ref[ii, jj])
+        and np.all(hyb[dropped] == 0.0)
     )
 
     results = {}
@@ -184,7 +197,7 @@ def bench_hybrid_panels(args) -> None:
         "value": round(total_pairs / total_dt, 1),
         "unit": "pairs/s",
         "vs_baseline": None,
-        "bit_exact": bit_exact,
+        "rescored_entries_exact": rescored_exact,
         "panel_seconds": results,
     })
 

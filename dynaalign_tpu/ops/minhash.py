@@ -67,9 +67,11 @@ def minhash_signatures(
     Chunked over sequences so the [chunk, P, H] hash tensor stays well
     under HBM limits for long-sequence workloads.  ``chunk=None``
     (default) sizes chunks to a ~64 MB hash tensor, rounded to a power
-    of two in [512, 65536] so the compiled-shape family stays small —
+    of two in [64, 65536] so the compiled-shape family stays small —
     short peptides take few large dispatches, long proteins many small
-    ones.
+    ones (the floor is 64 rows so the 64 MB target holds even for
+    multi-kilobase proteins at large n_hash; below that the tensor can
+    exceed the target, but only by the one-row minimum).
     """
     if k <= 0:
         raise ValueError("'k' must be a positive integer")
@@ -84,7 +86,7 @@ def minhash_signatures(
     if chunk is None:
         p = length - k + 1
         fit = (64 << 20) // max(p * n_hash * 4, 1)
-        chunk = int(np.clip(1 << max(fit, 1).bit_length() - 1, 512, 65536))
+        chunk = int(np.clip(1 << max(fit, 1).bit_length() - 1, 64, 65536))
     seeds = jnp.asarray(hash_family_seeds(n_hash, seed))
     if n <= chunk:
         return _signatures_kernel(ascii_tokens, lengths, seeds, k=k)

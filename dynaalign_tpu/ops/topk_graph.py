@@ -45,9 +45,12 @@ def _topk_kernel(sigs: jnp.ndarray, *, k: int, block: int):
             col_ids[None, :] == row_ids[:, None], jnp.int32(-1), counts
         )
         # top_k on float32: ~3.3x faster than the int32 sort on TPU and
-        # exact — counts are small integers (<= n_hash << 2^24, so f32-
-        # representable) and lax.top_k's stable tie-break (lowest index
-        # first) is dtype-independent (tools/probe_topk.py: the int32
+        # value-exact — counts are small integers (<= n_hash << 2^24, so
+        # f32-representable).  Tie ORDER among equal counts is not a
+        # documented XLA contract across backends; lowest-index-first is
+        # empirically verified on the CPU mesh (tests/test_topk_graph.py)
+        # and re-checked on the real chip every bench run (bench.py's
+        # topk_f32_ties_stable canary).  (tools/probe_topk.py: the int32
         # sort was 92% of the whole agreement sweep)
         fvals, idx = jax.lax.top_k(counts.astype(jnp.float32), k)
         vals = fvals.astype(jnp.int32)

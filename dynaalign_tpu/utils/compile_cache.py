@@ -58,4 +58,9 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     # 65k-seq signature build, first call 156s cold vs 0.5s hot — all
     # dispatch/compile RPCs, no compute)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # ... but bound the directory: caching every trivial executable with
+    # no eviction would grow without limit across shape families.  4 GB
+    # holds hundreds of Pallas NW shapes (the big banded h3n2 executable
+    # is ~10 MB); JAX evicts least-recently-used entries past the cap.
+    jax.config.update("jax_compilation_cache_max_size", 4 << 30)
     return cache_dir

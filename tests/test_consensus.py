@@ -1,6 +1,5 @@
 """MSA + consensus layer."""
 
-import os
 
 import numpy as np
 import pytest
@@ -227,7 +226,7 @@ def test_msa_aligner_matches_oracle_related_pairs():
         )
 
 
-def test_native_row_dp_bit_identical_to_numpy():
+def test_native_row_dp_bit_identical_to_numpy(monkeypatch):
     """cpp/msa_dp.cpp must produce the exact numpy traceback (it
     transcribes the same IEEE-double formulas), including on profile
     scores with ties from identical sequences."""
@@ -244,9 +243,9 @@ def test_native_row_dp_bit_identical_to_numpy():
             if rng.random() < 0.5:
                 sr += rng.normal(0, 0.25, size=(m, n)).round(2)
             got = native_row_dp(sr, go, ge)
-            os.environ["DYNAALIGN_MSA_NATIVE"] = "0"
-            try:
-                want = msa_mod._row_dp(sr, go, ge)
-            finally:
-                del os.environ["DYNAALIGN_MSA_NATIVE"]
+            # monkeypatch restores any pre-existing value after the test
+            # (a bare del would wipe a user-set env var for the process)
+            monkeypatch.setenv("DYNAALIGN_MSA_NATIVE", "0")
+            want = msa_mod._row_dp(sr, go, ge)
+            monkeypatch.delenv("DYNAALIGN_MSA_NATIVE")
             np.testing.assert_array_equal(got, want)
