@@ -232,6 +232,7 @@ def louvain(
     resolution: float = 1.0,
     seed: int = 0,
     max_levels: int = 32,
+    sync_threshold: int | None = None,
 ) -> LouvainResult:
     """Two-phase Louvain on an undirected weighted graph.
 
@@ -239,6 +240,9 @@ def louvain(
       adj: symmetric adjacency (dense or sparse); diagonal = self-loops.
       resolution: γ in the generalized modularity (igraph-compatible).
       seed: RNG seed for node visiting order.
+      sync_threshold: node count above which the first sweep runs the
+        vectorized synchronous pass (default ``_SYNC_THRESHOLD``; tests
+        pass 0 to force the large-graph path on small graphs).
     """
     A = sparse.csr_matrix(adj, dtype=np.float64)
     n0 = A.shape[0]
@@ -254,7 +258,10 @@ def louvain(
         two_m = strengths.sum()
         if two_m == 0:
             break
-        if A.shape[0] > _SYNC_THRESHOLD:
+        thr = (
+            _SYNC_THRESHOLD if sync_threshold is None else sync_threshold
+        )
+        if A.shape[0] > thr:
             comm = _one_level_synchronous(
                 A.indptr, A.indices, A.data, strengths, two_m,
                 resolution, rng,
