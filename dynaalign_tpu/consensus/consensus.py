@@ -36,10 +36,16 @@ applies to nucleotide inputs only; and the ``min_information`` test
 divides the consensus set's residue mass by the column's TOTAL
 non-missing mass *including interior gaps* (so e.g. a unanimous-D
 column with 40% interior gap mass emits ``no_consensus_char`` under
-defaults).  This gap-inclusive denominator is one reading of
-DECIPHER's information measure and is validated only by self-authored
-tests; the gap-exclusive alternative would compare ``cum`` against
-``res_total`` instead (consensus_sequence, "below-information" branch).
+defaults).  The gap-inclusive denominator is pinned by the doc-derived
+golden suite (tests/test_consensus_decipher_goldens.py): the
+documentation's threshold clause ("less than threshold fraction of the
+sequence information can be lost") together with its gap handling
+(gaps are characters carrying information — a gap-majority column's
+consensus is a gap) admits only the gap-inclusive reading; the
+gap-exclusive alternative (compare ``cum`` against ``res_total``)
+would silently drop a 40% gap share.  Each golden names the
+documentation clause it encodes; none were produced by running
+DECIPHER (impossible here), which remains the honest residual gap.
 """
 
 from __future__ import annotations
