@@ -53,6 +53,13 @@ def test_mh_bit_exact_on_peparray():
         # 12-mers share few 4-mers unless related, so the correlation
         # is real but weaker — regime-appropriate thresholds.
         ("evp_peparray", 120, 4, 200, 0.30, 0.20),
+        # the reference's clusterbreak DEFAULT config: similarityMH(k=2,
+        # n_hash=50) (R/clusterbreak.R:185) — the quick-start path users
+        # actually hit.  2-mers are shared heavily among related 12-mer
+        # probes, so the default correlates BETTER here than k=4
+        # (measured over 10 seeds: median 0.68, worst 0.62; thresholds
+        # leave seed margin).
+        ("evp_peparray", 120, 2, 50, 0.55, 0.45),
     ],
 )
 def test_mh_nw_correlation_two_regimes(
