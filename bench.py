@@ -6,6 +6,14 @@ reference's similarityNW driver is single-threaded
 (src/pairwiseSeqAlign.cpp:340-352), so ``vs_baseline`` is the speedup the
 BASELINE "≥10x pairs/sec on one chip" target is scored on.
 
+The headline runs at n=1000 (500,500 pairs, the VERDICT-mandated scale;
+~5 s of device time, so launch overhead is amortized) through the
+DEFAULT driver, which since round 4 routes long-regime sweeps through
+the fused single-dispatch path (load-robust, docs/PERF.md "Load
+windows").  A secondary n=256 run reports both dispatch shapes —
+fused (default) and direct per-tile launches (DYNAALIGN_NW_FUSED=0) —
+for round-over-round comparability.
+
 Prints ONE JSON line:
   {"metric": "nw_allpairs_pairs_per_sec", "value": ..., "unit": "pairs/s",
    "vs_baseline": ..., ...extra context fields}
@@ -18,8 +26,10 @@ import time
 
 import numpy as np
 
-N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "256"))
+N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "1000"))
+N_SMALL = int(os.environ.get("BENCH_NW_SMALL", "256"))
 N_BASELINE = int(os.environ.get("BENCH_BASELINE_SEQS", "24"))
+REPS = int(os.environ.get("BENCH_REPS", "4"))
 
 
 def main():
@@ -41,21 +51,38 @@ def main():
     total_cells = float(np.triu(pair_cells).sum())
     n_pairs = n * (n + 1) // 2
 
-    # --- TPU path (warm up compile, then time) -----------------------------
-    def run():
-        return similarity_nw(seqs)
+    # absorb the per-process relay warmup before timing anything
+    np.asarray(jax.numpy.zeros(4) + 1)
 
-    sims = run()  # compile + first run
-    tpu_time = float("inf")
-    # best-of-6: relay load windows can inflate per-launch dispatch 10x
-    # for minutes at a time (docs/PERF.md "Measuring"), so take the
-    # minimum over enough reps to catch a gap when one opens
-    for _ in range(6):
-        t0 = time.perf_counter()
-        sims = run()
-        tpu_time = min(tpu_time, time.perf_counter() - t0)
+    def time_best(fn, reps):
+        best = float("inf")
+        out = fn()  # compile + first run
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    # --- headline: n=1000 through the DEFAULT (fused) driver ---------------
+    tpu_time, sims = time_best(lambda: similarity_nw(seqs), REPS)
     tpu_pairs_per_sec = n_pairs / tpu_time
     tpu_cells_per_sec = total_cells / tpu_time
+
+    # --- secondary: n=256, both dispatch shapes ----------------------------
+    small = seqs[:N_SMALL]
+    ns = len(small)
+    small_pairs = ns * (ns + 1) // 2
+    t_fused, sims_small = time_best(lambda: similarity_nw(small), REPS)
+
+    def run_direct():
+        os.environ["DYNAALIGN_NW_FUSED"] = "0"
+        try:
+            return similarity_nw(small)
+        finally:
+            os.environ.pop("DYNAALIGN_NW_FUSED", None)
+
+    t_direct, sims_direct = time_best(run_direct, 2)
+    fused_equals_direct = bool(np.array_equal(sims_small, sims_direct))
 
     # --- CPU baseline (serial, reference-equivalent) -----------------------
     base_seqs = seqs[:N_BASELINE]
@@ -68,7 +95,7 @@ def main():
         cpu_time = min(cpu_time, time.perf_counter() - t0)
     cpu_pairs_per_sec = base_pairs / cpu_time
 
-    # correctness spot check on the overlapping block
+    # correctness spot check on the overlapping block (headline output)
     ok = bool(np.array_equal(sims[:nb, :nb], base))
 
     # short-kernel on-chip bit-exactness (12-mer regime; the headline
@@ -108,32 +135,6 @@ def main():
         for i in range(96)
     )
 
-    # --- sharded driver on a 1x1 mesh: shard_map + Pallas on the real
-    # chip (the multi-chip code path, proven on the hardware we have) ---
-    from jax.sharding import Mesh
-
-    from dynaalign_tpu.encode import encode
-    from dynaalign_tpu.parallel import sharded_nw_allpairs
-
-    mesh_1x1 = Mesh(
-        np.array(jax.devices()[:1]).reshape(1, 1), ("rows", "cols")
-    )
-    enc = encode(seqs, pad_to=pad)
-    sub = blosum.get_matrix("BLOSUM62")
-
-    def run_sharded():
-        return sharded_nw_allpairs(
-            enc.indices, enc.lengths, sub, tile=16, mesh=mesh_1x1
-        )
-
-    sh_sims = run_sharded()  # compile + first run
-    sh_time = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sh_sims = run_sharded()
-        sh_time = min(sh_time, time.perf_counter() - t0)
-    sharded_ok = bool(np.array_equal(sh_sims, sims))
-
     result = {
         "metric": "nw_allpairs_pairs_per_sec",
         "value": round(tpu_pairs_per_sec, 2),
@@ -149,9 +150,10 @@ def main():
         "short_kernel_bit_exact": short_ok,
         "i16_planes_enabled": i16_on,
         "topk_f32_ties_stable": bool(ties_ok),
-        "sharded_1x1_bit_exact": sharded_ok,
-        "sharded_pairs_per_sec": round(n_pairs / sh_time, 2),
-        "sharded_vs_direct": round(tpu_time / sh_time, 3),
+        "small_n": ns,
+        "small_fused_pairs_per_sec": round(small_pairs / t_fused, 2),
+        "small_direct_pairs_per_sec": round(small_pairs / t_direct, 2),
+        "fused_equals_direct": fused_equals_direct,
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
     }

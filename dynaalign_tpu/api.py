@@ -37,7 +37,7 @@ from .ops.minhash import minhash_signatures, signature_similarity
 PALLAS_BUCKET_EDGES = (
     15, 31, 63, 127, 255, 383, 511, 639, 767, 1023, 1535, 2047
 )
-# VMEM budget: state planes + the in-kernel substitution slab (32 bytes
+# VMEM budget: state planes + the in-kernel substitution slab (24 bytes
 # per cell, ops/nw_pallas.py) + Mosaic temporaries must fit scoped VMEM.
 # The pre-round-3 budget of 128k cells overflowed once the slab moved
 # into VMEM: Mosaic measured 17.48 MB of stack at (mp1=17, B=8192)
@@ -52,9 +52,19 @@ def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:
 
 
 # HBM budget for one tiled kernel launch's scoring inputs (the
-# [T, 8, Mp1, B] int32 substitution slab + [T, D, B] int32 b-char
+# [T, 6, Mp1, B] int32 substitution slab + [T, D, B] int32 b-char
 # stream) — bounds how many pair tiles ride one dispatch
 _TILED_SD_BUDGET = 2 << 30
+
+# long-regime all-pairs sweeps that would issue more than this many
+# kernel launches route through the single-dispatch fused path instead
+# (parallel.sharded_nw_allpairs on a 1x1 mesh): per-launch dispatch is a
+# host->device RPC under the TPU relay, and shared-relay load windows
+# inflate it ~10x for minutes at a time — the direct driver measured
+# 60.7k pairs/s quiet vs 3.8k loaded at n=256 (136 launches) while the
+# fused driver held 59.2k -> 19k in the same windows (docs/PERF.md
+# "Load windows").  DYNAALIGN_NW_FUSED=0 forces direct, =1 forces fused.
+_FUSED_LAUNCH_THRESHOLD = 24
 
 
 def _tiles_per_launch(
@@ -80,7 +90,7 @@ def _tiles_per_launch(
         return int(np.clip(int(override), 1, n_tiles))
     if backend != "pallas_short":
         return 1
-    per_tile = (32 * (m + 1) + 4 * (m + n + 2)) * bsz  # slab + bstream
+    per_tile = (24 * (m + 1) + 4 * (m + n + 2)) * bsz  # slab + bstream
     return int(np.clip(_TILED_SD_BUDGET // max(per_tile, 1), 1, n_tiles))
 
 
@@ -413,6 +423,34 @@ def similarity_nw(
         t = tile or _pick_tile(n, enc.max_len)
         backend = pick_nw_backend(enc.max_len, enc.max_len)
     nb = -(-n // t)
+    if backend == "pallas":
+        # the long regime runs one launch per pair tile (tc == 1,
+        # _tiles_per_launch); past the threshold, route through the
+        # fused single-dispatch sharded driver on a 1x1 mesh — the same
+        # stacked/banded/i16 kernels inside ONE XLA program per ~2048
+        # tiles, bit-exact vs this driver (tests/test_parallel.py,
+        # bench.py sharded_1x1_bit_exact) and ~5x more robust to relay
+        # load windows (see _FUSED_LAUNCH_THRESHOLD).
+        import os as _os
+
+        env = _os.environ.get("DYNAALIGN_NW_FUSED", "")
+        if env != "0" and (
+            env == "1"
+            or nb * (nb + 1) // 2 > _FUSED_LAUNCH_THRESHOLD
+        ):
+            from jax.sharding import Mesh
+
+            from .parallel import sharded_nw_allpairs
+
+            mesh_1x1 = Mesh(
+                np.array(jax.devices()[:1]).reshape(1, 1),
+                ("rows", "cols"),
+            )
+            return sharded_nw_allpairs(
+                enc.indices, enc.lengths, sub_np,
+                tile=t, gap_open=gap_open, gap_ext=gap_ext,
+                mesh=mesh_1x1,
+            )
     # pad index space so every block is full; padded entries masked later
     pad_n = nb * t
     seq_idx = jnp.asarray(enc.indices)

@@ -7,14 +7,14 @@ bit-exact percent identity), engineered for the chip:
   Rounds 1-2 materialized a packed [D, Mp1, B] anti-diagonal score
   tensor in HBM (~82 MB per 256-pair tile); its skew/pad cost 1.7x the
   DP kernel itself.  Now the prepass only builds a per-pair *substitution
-  slab*: for every DP row i, the 32-entry BLOSUM row of that pair's
-  a-character, bias-packed four bytes per int32 ([8, Mp1, B], ~4.6 MB,
+  slab*: for every DP row i, the 24-entry BLOSUM row of that pair's
+  a-character, bias-packed four bytes per int32 ([6, Mp1, B], ~3.5 MB,
   VMEM-resident for the whole sweep).  The kernel reconstructs each
   diagonal's scores on the fly: a `c`-plane (the b-character facing each
   DP row on the current anti-diagonal) advances by one sublane roll plus
   one streamed fresh row per diagonal, and the score byte is selected
-  from the slab with a 3-level packed-word tree keyed by `c` plus a
-  per-lane variable-shift byte extract.  ~20 extra VPU ops per cell in
+  from the slab with a 5-select packed-word tree keyed by `c` plus a
+  per-lane variable-shift byte extract.  ~17 extra VPU ops per cell in
   exchange for eliminating the 82 MB round trip and the skew entirely.
 
 * **DP state lives in VMEM across the whole sweep.**  The kernel runs a
@@ -58,11 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .nw import NWResult
 
 NEG = np.int32(np.iinfo(np.int32).min // 2)
-# int16 score planes use a clamped sentinel: unlike the int32 sentinel
-# (which can decay by gap penalties for thousands of diagonals without
-# ever approaching legit values), int16 would wrap, so sentinel-lineage
-# values are re-clamped to NEG16 every diagonal and eligibility is
-# gated by nw_i16_ok's bound on the deepest legit DP value.
+# int16 score planes use a shallower sentinel; eligibility is gated by
+# nw_i16_ok's bound on the deepest legit DP value.  At common shapes
+# the bounded garbage-cell decay provably fits int16 with no clamping
+# (_i16_clamp_free); otherwise sentinel-lineage values are re-clamped
+# to NEG16 every diagonal so the narrowing store never wraps.
 NEG16 = np.int16(-26000)
 _LN_BITS = 13
 _LN_MASK = (1 << _LN_BITS) - 1
@@ -71,13 +71,28 @@ _LN_MASK = (1 << _LN_BITS) - 1
 # byte is in [62, 195] and the extract is a shift+mask+subtract with no
 # sign-extension dance
 _BIAS = 128
+# the 24-symbol alphabet packs into 6 words of 4 biased bytes each; the
+# select tree over 6 words is 5 lane-selects (vs 7 for the 32-padded
+# table) and the slab costs 24 bytes per (row, pair) cell instead of 32.
+# c == PAD_ID (24) or a padded-bstream 0 selects a garbage word — those
+# scores only ever reach cells outside every pair's valid region, which
+# no valid cell reads (DP ancestors have strictly smaller indices).
+_N_WORDS = 6
+
+
+# sublane alignment of the dynamic band-window offset.  16 satisfies
+# every plane's tile: (16, 128) for the int16 score planes, (8, 128)
+# for the int32 stat/c planes and the slab.  (Round 3 used 32 — the
+# int8 tile — but no int8 plane exists; 16 halves the alignment waste.)
+_ALIGN = 16
 
 
 def _diags_per_step() -> int:
     """Anti-diagonals processed per grid step (even; probe-tunable).
 
-    Must divide 32 when band limiting is on (the band window offset is
-    32-aligned and the streamed fresh-row block index must stay whole).
+    Must divide _ALIGN when band limiting is on (the band window offset
+    is _ALIGN-aligned and the streamed fresh-row block index must stay
+    whole).
     """
     return int(os.environ.get("DYNAALIGN_NW_DIAGS", "2"))
 
@@ -117,21 +132,51 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     )
 
 
+def _i16_clamp_free(mp1: int, gap_open: int, gap_ext: int) -> bool:
+    """True when the int16 path can skip the per-diagonal sentinel
+    re-clamps entirely (3 vector maxes per cell saved).
+
+    Two facts make the clamps redundant at common shapes:
+
+    1. **Valid cells never read unmasked garbage.**  A valid interior
+       cell's ancestors are (i-1, j), (i, j-1), (i-1, j-1); cells with
+       i == 0 or j == 0 are re-masked to fresh border/sentinel values on
+       their own diagonal, so sentinel *lineage* decay only accumulates
+       in cells outside every pair's valid region — whose values are
+       never read by any valid cell and never captured.
+    2. **Garbage decay is bounded by window residency.**  A row computed
+       while above the band holds init sentinels and decays by at most
+       gap_ext per diagonal (the cheapest surviving path is a pure gap
+       extension) for at most ~mp1 diagonals before its border diagonal
+       re-masks it; below-band rows start from legit-bounded values and
+       leave the window within ~2*_ALIGN diagonals.  So every stored
+       value stays above NEG16 - gap_ext*(mp1+2) - gap_open - margin,
+       and the narrowing int16 store never wraps.
+
+    When this bound does not fit int16 (very long sequences at large
+    gap_ext), the clamps stay on — results are identical either way;
+    only garbage-cell arithmetic differs.
+    """
+    return (
+        -int(NEG16) + gap_ext * (mp1 + 2) + gap_open + 70 < 32768
+    )
+
+
 def _score_slab(
     a_idx: jnp.ndarray,  # int32 [B, M]
     b_idx: jnp.ndarray,  # int32 [B, N]
-    sub: jnp.ndarray,  # int32 [32, 32]
+    sub: jnp.ndarray,  # int32 [32, 32] (24x24 table, zero-padded)
     d_pad: int,  # padded diagonal count (multiple of n_diag)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Kernel-side scoring inputs: (slab [8, Mp1, B], bstream [Dpad, B]).
+    """Kernel-side scoring inputs: (slab [6, Mp1, B], bstream [Dpad, B]).
 
     slab[k, i, b] packs the four biased score bytes
     ``2*sub[a[b, i-1], l] + (a[b, i-1] == l) + 128`` for alphabet codes
-    l = 4k..4k+3 into one int32 — the full 32-entry substitution row of
+    l = 4k..4k+3 into one int32 — the full 24-entry substitution row of
     pair b's i-th a-character, MXU-generated via a one-hot matmul (exact
     in bf16: each product has a single non-zero term and |2s+1| <= 66).
     Row 0 (the DP border row) is irrelevant (always masked) and holds
-    bias bytes.
+    bias bytes; PAD_ID a-characters one-hot to zero rows (bias bytes).
 
     bstream[d, b] is pair b's b-character at position d (int32, 0 beyond
     the padded length — those values only ever reach out-of-grid cells).
@@ -140,21 +185,24 @@ def _score_slab(
     """
     bsz, m = a_idx.shape
     mp1 = m + 1
-    oa = jax.nn.one_hot(a_idx, 32, dtype=jnp.bfloat16)  # [B, M, 32]
-    sub2 = (2 * sub + jnp.eye(32, dtype=sub.dtype)).astype(jnp.bfloat16)
+    nsym = 4 * _N_WORDS  # 24-symbol alphabet
+    oa = jax.nn.one_hot(a_idx, nsym, dtype=jnp.bfloat16)  # [B, M, 24]
+    sub2 = (
+        2 * sub[:nsym, :nsym] + jnp.eye(nsym, dtype=sub.dtype)
+    ).astype(jnp.bfloat16)
     rows = jnp.einsum(
         "bmk,kl->mlb", oa, sub2, preferred_element_type=jnp.bfloat16
-    ).astype(jnp.int32) + _BIAS  # [M, 32, B] biased bytes
+    ).astype(jnp.int32) + _BIAS  # [M, 24, B] biased bytes
     rows = jnp.pad(rows, ((1, 0), (0, 0), (0, 0)),
                    constant_values=_BIAS)  # border row 0
-    r4 = rows.reshape(mp1, 8, 4, bsz)
+    r4 = rows.reshape(mp1, _N_WORDS, 4, bsz)
     slab = (
         r4[:, :, 0]
         | (r4[:, :, 1] << 8)
         | (r4[:, :, 2] << 16)
         | (r4[:, :, 3] << 24)
-    )  # [Mp1, 8, B]
-    slab = jnp.transpose(slab, (1, 0, 2))  # [8, Mp1, B]
+    )  # [Mp1, 6, B]
+    slab = jnp.transpose(slab, (1, 0, 2))  # [6, Mp1, B]
     bstream = jnp.pad(
         jnp.transpose(b_idx, (1, 0)),  # [N, B]
         ((0, d_pad - b_idx.shape[1]), (0, 0)),
@@ -167,7 +215,7 @@ def _band_select(g, nd, mp1, n_cols, band_classes):
 
     Shared by the kernel body and the bstream BlockSpec index map — the
     streamed fresh-row offset must agree exactly with the in-kernel
-    window offset.  Returns the class id and the 32-aligned sublane
+    window offset.  Returns the class id and the _ALIGN-aligned sublane
     window offset; o == 0 when band_classes is empty.
     """
     if not band_classes:
@@ -176,20 +224,20 @@ def _band_select(g, nd, mp1, n_cols, band_classes):
     d_last = nd * g + nd
     lo = jnp.maximum(0, d_first - n_cols - 1)
     hi = jnp.minimum(d_last, mp1 - 1)
-    lo32 = (lo // 32) * 32
-    needed = hi - lo32 + 1
+    lo_al = (lo // _ALIGN) * _ALIGN
+    needed = hi - lo_al + 1
     cls = jnp.int32(0)
     for wc in band_classes[:-1]:
         cls = cls + (needed > wc).astype(jnp.int32)
     o = jnp.int32(0)
     for ci, wc in enumerate(band_classes):
-        oc = jnp.minimum(lo // 32, (mp1 - wc) // 32) * 32
+        oc = jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN) * _ALIGN
         o = jnp.where(cls == ci, oc, o)
     return cls, o
 
 
 def _kernel(
-    slab_ref,  # int32 [1, 8, Mp1, B] — packed substitution rows (VMEM)
+    slab_ref,  # int32 [1, 6, Mp1, B] — packed substitution rows (VMEM)
     bstr_ref,  # int32 [1, 1, n_diag, B] — this step's fresh b-char rows
     alen_ref,  # int32 [1, B]
     fd_ref,  # int32 [1, B] — final diagonal (m + n) per pair
@@ -205,6 +253,7 @@ def _kernel(
     ge: int,
     shape: tuple,  # (Mp1, B): DP rows on sublanes, pairs on lanes
     i16: bool = False,
+    i16_clamp: bool = True,
     n_diag: int = 2,
     n_cols: int = 0,  # padded b-side length N (for the band window)
     band_classes: tuple = (),
@@ -228,8 +277,8 @@ def _kernel(
     window's top row (streamed via bstr_ref — its block offset
     d-1-o(g) is a pure function of the grid step, computed by the
     BlockSpec index map with the shared _band_select helper).  The score
-    byte is then selected from the VMEM-resident slab with a 3-level
-    where-tree over the 8 packed words keyed by c's high bits, and a
+    byte is then selected from the VMEM-resident slab with a 5-select
+    where-tree over the 6 packed words keyed by c's high bits, and a
     per-lane variable shift extracts the biased byte.  Rows whose c was
     never initialised (window growth) only ever cover masked border or
     out-of-grid cells — see the band-correctness argument below.
@@ -295,23 +344,28 @@ def _kernel(
             jnp.int32, (width, bsz), 0
         ) == 0
         win = (pl.ds(o, width), slice(None))
-        # the 8 packed substitution words for the window's a-characters,
+        # the 6 packed substitution words for the window's a-characters,
         # loaded once per step and shared by all n_diag diagonals
-        sw = [slab_ref[0, k, win[0], :] for k in range(8)]
+        sw = [slab_ref[0, k, win[0], :] for k in range(_N_WORDS)]
 
         def score_diag(c):
-            """Per-cell (score, match) from the slab keyed by c."""
+            """Per-cell (score, match) from the slab keyed by c.
+
+            5-select binary tree over the 6 packed words (word index
+            k = c >> 2 in [0, 5], keyed by c's bits 2/3/4); the
+            impossible k in {6, 7} (only PAD_ID / padded-bstream
+            garbage maps there) falls through to a harmless wrong word
+            — see the _N_WORDS note for why those cells never matter.
+            """
             sha = (c & 3) << 3
-            p0 = (c & 4) != 0
-            p1 = (c & 8) != 0
-            p2 = (c & 16) != 0
-            t0 = jnp.where(p0, sw[1], sw[0])
-            t1 = jnp.where(p0, sw[3], sw[2])
-            t2 = jnp.where(p0, sw[5], sw[4])
-            t3 = jnp.where(p0, sw[7], sw[6])
-            u0 = jnp.where(p1, t1, t0)
-            u1 = jnp.where(p1, t3, t2)
-            v = jnp.where(p2, u1, u0)
+            b2 = (c & 4) != 0
+            b3 = (c & 8) != 0
+            b4 = (c & 16) != 0
+            t0 = jnp.where(b2, sw[1], sw[0])
+            t1 = jnp.where(b2, sw[3], sw[2])
+            t2 = jnp.where(b2, sw[5], sw[4])
+            u0 = jnp.where(b3, t1, t0)
+            v = jnp.where(b4, t2, u0)
             s2 = ((v >> sha) & 0xFF) - _BIAS  # 2*score + match
             return s2 >> 1, s2 & 1
 
@@ -330,18 +384,20 @@ def _kernel(
             ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
             iy = jnp.maximum(pM - (go + ge), pIy - ge)
             mnew = sh(qBest) + score
-            if i16:
+            if i16 and i16_clamp:
                 # re-clamp sentinel lineage: the narrowing int16 store
                 # would wrap under the per-diagonal gap decay; legit
                 # values never reach NEG16 (nw_i16_ok gate), so clamping
-                # only touches sentinels
+                # only touches sentinels.  Skipped when _i16_clamp_free
+                # proves the bounded decay fits int16 (the common case).
                 ix = jnp.maximum(ix, neg)
                 iy = jnp.maximum(iy, neg)
                 mnew = jnp.maximum(mnew, neg)
 
-            d_sel = (mnew >= ix) & (mnew >= iy)  # priority D > U > L
+            mxy = jnp.maximum(ix, iy)
+            d_sel = mnew >= mxy  # priority D > U > L
             u_sel = (~d_sel) & (ix >= iy)
-            m_cell = jnp.where(d_sel, mnew, jnp.where(u_sel, ix, iy))
+            m_cell = jnp.maximum(mnew, mxy)  # == the D/U/L-selected value
             s_cell = (
                 jnp.where(
                     d_sel,
@@ -416,10 +472,13 @@ def _kernel(
         for ci, wc in enumerate(band_classes):
             @pl.when(cls == ci)
             def _(wc=wc):
-                # mp1 - wc is 32-aligned by construction of the classes;
-                # keep `* 32` as the LAST op so Mosaic can statically
-                # prove the sublane offset's tile alignment
-                o = jnp.minimum(lo // 32, (mp1 - wc) // 32) * 32
+                # mp1 - wc is _ALIGN-aligned by construction of the
+                # classes; keep `* _ALIGN` as the LAST op so Mosaic can
+                # statically prove the sublane offset's tile alignment
+                o = (
+                    jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN)
+                    * _ALIGN
+                )
                 step_window(o, wc)
     else:
         step_window(0, mp1)
@@ -483,15 +542,23 @@ def nw_similarity_batch_pallas(
     )
 
 
-def _band_classes(mp1: int, n_classes: int = 4) -> tuple:
+def _band_classes(mp1: int, n_classes: int | None = None) -> tuple:
     """Static sublane-window width classes for the band-limited sweep.
 
-    Widths keep ``mp1 - W`` 32-aligned so the clamped window offset
-    stays tile-aligned; degenerate/duplicate classes collapse.
+    Widths keep ``mp1 - W`` _ALIGN-aligned so the clamped window offset
+    stays tile-aligned; degenerate/duplicate classes collapse.  More
+    classes execute a tighter band (the mean executed width over a full
+    sweep is ~mean(W) vs a true band mean of ~mp1/2) at the cost of
+    compile time, which scales with the class count;
+    DYNAALIGN_NW_BAND_CLASSES overrides the default of 6.
     """
+    if n_classes is None:
+        n_classes = int(
+            os.environ.get("DYNAALIGN_NW_BAND_CLASSES", "6")
+        )
     widths = []
     for c in range(1, n_classes):
-        slack = (mp1 * (n_classes - c) // n_classes) // 32 * 32
+        slack = (mp1 * (n_classes - c) // n_classes) // _ALIGN * _ALIGN
         w = mp1 - slack
         if 64 <= w < mp1:
             widths.append(w)
@@ -516,7 +583,7 @@ def _run_kernel(
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
-    slab: [T, 8, Mp1, B] packed substitution rows; bstream: [T, D, B]
+    slab: [T, 6, Mp1, B] packed substitution rows; bstream: [T, D, B]
     per-diagonal fresh b-chars; alen/fd: [T, 1, B]; returns [T, 1, B].
     shape = (Mp1, B) state-plane shape.  The T axis runs whole
     independent pair tiles back-to-back inside one launch, so
@@ -529,14 +596,16 @@ def _run_kernel(
     """
     mp1 = shape[0]
     band_classes = _band_classes(mp1) if band else ()
-    if band_classes and 32 % n_diag:
+    if band_classes and _ALIGN % n_diag:
         raise ValueError(
-            f"n_diag={n_diag} must divide 32 under band limiting"
+            f"n_diag={n_diag} must divide {_ALIGN} under band limiting"
         )
     t_tiles = slab.shape[0]
     kernel = functools.partial(
         _kernel, go=gap_open, ge=gap_ext, shape=shape,
-        i16=i16, n_diag=n_diag, n_cols=n_cols,
+        i16=i16,
+        i16_clamp=not _i16_clamp_free(mp1, gap_open, gap_ext),
+        n_diag=n_diag, n_cols=n_cols,
         band_classes=band_classes,
     )
     sdt = jnp.int16 if i16 else jnp.int32
@@ -562,7 +631,7 @@ def _run_kernel(
         grid=(t_tiles, d_total // n_diag),
         in_specs=[
             pl.BlockSpec(
-                (1, 8) + shape,
+                (1, _N_WORDS) + shape,
                 lambda t, g: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -645,7 +714,7 @@ def nw_similarity_tiles_pallas(
             sub, d_pad,
         ),
         (a_idx, b_idx),
-    )  # [T, 8, Mp1, B], [T, Dpad, B]
+    )  # [T, 6, Mp1, B], [T, Dpad, B]
     alen = a_len.astype(jnp.int32).reshape(t_tiles, 1, bsz)
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(

@@ -179,12 +179,18 @@ def sharded_minhash_similarity(
 # the Pallas grid's tile axis runs them back-to-back in one dispatch)
 _SHARDED_GROUP = 8
 
+# (matches << 13) | length packing for the fetched result blocks —
+# the same 13-bit budget as the Pallas kernel's in-flight stats
+# (ops/nw_pallas.py); eligible whenever padded m + n < 8192
+_PACK_BITS = 13
+_PACK_MASK = (1 << _PACK_BITS) - 1
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "tile", "gap_open", "gap_ext", "backend", "score_i16",
-        "group",
+        "group", "pack",
     ),
 )
 def _nw_tiles_sharded(
@@ -201,13 +207,17 @@ def _nw_tiles_sharded(
     backend: str = "auto",
     score_i16: bool = False,
     group: int = _SHARDED_GROUP,
+    pack: bool = False,
 ):
     """Sweep T pair-tiles over the flattened mesh; T % (ndev*group) == 0.
 
     Each device runs the SAME stacked/banded/i16 Pallas sweep as the
     single-chip driver (``nw_batch_tiled``), ``group`` tiles per launch,
     so per-chip throughput matches the direct path.  Returns
-    (matches, length) int32 [T, t, t].
+    (matches, length) int32 [T, t, t] — or, with ``pack`` (eligible
+    when m+n < 8192), ONE int32 [T, t, t] of (matches << 13) | length:
+    the device->host fetch is the second-largest cost of a full-set
+    sweep under the TPU relay, and packing halves it.
     """
 
     def device_fn(seqs, lens, submat, t_rows, t_cols):
@@ -232,18 +242,21 @@ def _nw_tiles_sharded(
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
                 score_i16=score_i16,
             )
-            return (
-                res.matches.reshape(group, tile, tile),
-                res.length.reshape(group, tile, tile),
-            )
+            mt = res.matches.reshape(group, tile, tile)
+            ln = res.length.reshape(group, tile, tile)
+            if pack:
+                return (mt << _PACK_BITS) | ln
+            return mt, ln
 
         t_local = t_rows.shape[0]
         g_rows = t_rows.reshape(t_local // group, group, tile)
         g_cols = t_cols.reshape(t_local // group, group, tile)
-        mt, ln = jax.lax.map(one_group, (g_rows, g_cols))
+        out = jax.lax.map(one_group, (g_rows, g_cols))
+        if pack:
+            return out.reshape(t_local, tile, tile)
         return (
-            mt.reshape(t_local, tile, tile),
-            ln.reshape(t_local, tile, tile),
+            out[0].reshape(t_local, tile, tile),
+            out[1].reshape(t_local, tile, tile),
         )
 
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
@@ -251,7 +264,7 @@ def _nw_tiles_sharded(
         device_fn,
         mesh=flat,
         in_specs=(P(), P(), P(), P("d"), P("d")),
-        out_specs=(P("d"), P("d")),
+        out_specs=P("d") if pack else (P("d"), P("d")),
         # the scan carry inits inside the NW kernel are mesh-invariant
         # constants; skip the varying-axis equality check
         check_vma=False,
@@ -269,13 +282,17 @@ def sharded_nw_allpairs(
     gap_ext: int = 4,
     mesh: Mesh | None = None,
     backend: str = "auto",
+    max_tiles_per_dispatch: int = 2048,
 ) -> np.ndarray:
     """All-pairs NW percent-identity on a mesh.  Returns float64 [N, N].
 
     The upper-triangular tile grid (including diagonal tiles, mirroring
     the reference driver src/pairwiseSeqAlign.cpp:340-352) is round-robin
     assigned across devices; each device runs the batched wavefront DP
-    over its tiles.
+    over its tiles.  ``max_tiles_per_dispatch`` caps how many tiles one
+    XLA program sweeps (~5 s of device time per dispatch at h3n2 scale):
+    a full-set run dispatches a handful of identically-shaped programs
+    that pipeline back-to-back instead of one unbounded-duration RPC.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -291,9 +308,23 @@ def sharded_nw_allpairs(
     group = min(_SHARDED_GROUP, max(len(tiles) // ndev, 1))
     while len(tiles) % (ndev * group):
         tiles.append((0, 0))
+    # one dispatch sweeps at most `seg` tiles; every dispatch gets the
+    # SAME shape (one compiled program) by padding the tile list to a
+    # whole number of segments
+    quantum = ndev * group
+    seg = min(
+        len(tiles), max(max_tiles_per_dispatch // quantum, 1) * quantum
+    )
+    while len(tiles) % seg:
+        tiles.append((0, 0))
     t_arr = np.asarray(tiles, dtype=np.int32)
-    # round-robin by interleaving so each device gets an even spread
-    order = np.argsort(np.arange(len(tiles)) % ndev, kind="stable")
+    n_tiles_padded = len(tiles)
+    # round-robin by interleaving WITHIN each segment so each device
+    # gets an even spread of every dispatch's tiles
+    order = np.concatenate([
+        s * seg + np.argsort(np.arange(seg) % ndev, kind="stable")
+        for s in range(n_tiles_padded // seg)
+    ])
     t_arr = t_arr[order]
     inv_order = np.argsort(order, kind="stable")
 
@@ -308,22 +339,40 @@ def sharded_nw_allpairs(
     i16 = chosen.startswith("pallas") and nw_i16_ok(
         seq_idx.shape[1], seq_idx.shape[1], gap_open, gap_ext, sub
     )
-    mt, ln = _nw_tiles_sharded(
-        _put(np.asarray(seq_idx, np.int32), flat, P()),
-        _put(np.asarray(lengths, np.int32), flat, P()),
-        _put(np.asarray(sub, np.int32), flat, P()),
-        _put(tile_rows, flat, P("d")),
-        _put(tile_cols, flat, P("d")),
-        mesh=mesh,
-        tile=tile,
-        gap_open=gap_open,
-        gap_ext=gap_ext,
-        backend=chosen,
-        score_i16=i16,
-        group=group,
-    )
-    mt = _fetch_global(mt)[inv_order]
-    ln = _fetch_global(ln)[inv_order]
+    seq_dev = _put(np.asarray(seq_idx, np.int32), flat, P())
+    len_dev = _put(np.asarray(lengths, np.int32), flat, P())
+    sub_dev = _put(np.asarray(sub, np.int32), flat, P())
+    pack = 2 * seq_idx.shape[1] < (1 << _PACK_BITS)
+    pend = []
+    for s in range(0, n_tiles_padded, seg):
+        pend.append(_nw_tiles_sharded(
+            seq_dev,
+            len_dev,
+            sub_dev,
+            _put(tile_rows[s : s + seg], flat, P("d")),
+            _put(tile_cols[s : s + seg], flat, P("d")),
+            mesh=mesh,
+            tile=tile,
+            gap_open=gap_open,
+            gap_ext=gap_ext,
+            backend=chosen,
+            score_i16=i16,
+            group=group,
+            pack=pack,
+        ))
+    if pack:
+        packed = np.concatenate([_fetch_global(p) for p in pend])[
+            inv_order
+        ]
+        mt = packed >> _PACK_BITS
+        ln = packed & _PACK_MASK
+    else:
+        mt = np.concatenate([_fetch_global(p[0]) for p in pend])[
+            inv_order
+        ]
+        ln = np.concatenate([_fetch_global(p[1]) for p in pend])[
+            inv_order
+        ]
 
     matches = np.zeros((nb * tile, nb * tile), dtype=np.int64)
     length = np.zeros_like(matches)
@@ -347,7 +396,7 @@ def sharded_nw_allpairs(
     jax.jit,
     static_argnames=(
         "mesh", "batch", "gap_open", "gap_ext", "backend", "score_i16",
-        "group",
+        "group", "pack",
     ),
 )
 def _nw_pairs_sharded(
@@ -366,13 +415,15 @@ def _nw_pairs_sharded(
     backend: str,
     score_i16: bool = False,
     group: int = _SHARDED_GROUP,
+    pack: bool = False,
 ):
     """Sweep T explicit-pair batches over the flattened mesh;
     T % (ndev*group) == 0.
 
     Per-device compute goes through the same stacked/banded/i16 tiled
     kernel as the single-chip bucketed driver.  Returns (matches,
-    length) int32 [T, batch].
+    length) int32 [T, batch], or one packed (matches << 13) | length
+    array with ``pack`` (halves the relay fetch; m+n < 8192 only).
     """
 
     def device_fn(sa, la, sb, lb, submat, r, c):
@@ -391,19 +442,23 @@ def _nw_pairs_sharded(
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
                 score_i16=score_i16,
             )
+            if pack:
+                return (res.matches << _PACK_BITS) | res.length
             return res.matches, res.length
 
         t_local = r.shape[0]
-        mt, ln = jax.lax.map(
+        out = jax.lax.map(
             one_group,
             (
                 r.reshape(t_local // group, group, batch),
                 c.reshape(t_local // group, group, batch),
             ),
         )
+        if pack:
+            return out.reshape(t_local, batch)
         return (
-            mt.reshape(t_local, batch),
-            ln.reshape(t_local, batch),
+            out[0].reshape(t_local, batch),
+            out[1].reshape(t_local, batch),
         )
 
     flat = Mesh(mesh.devices.reshape(-1), ("d",))
@@ -411,7 +466,7 @@ def _nw_pairs_sharded(
         device_fn,
         mesh=flat,
         in_specs=(P(), P(), P(), P(), P(), P("d"), P("d")),
-        out_specs=(P("d"), P("d")),
+        out_specs=P("d") if pack else (P("d"), P("d")),
         check_vma=False,
     )
     return fn(seq_a, len_a, seq_b, len_b, sub, rows, cols)
@@ -531,7 +586,8 @@ def sharded_nw_allpairs_bucketed(
         i16 = chosen.startswith("pallas") and nw_i16_ok(
             m_a, m_b, gap_open, gap_ext, sub
         )
-        mt, ln = _nw_pairs_sharded(
+        pack = m_a + m_b < (1 << _PACK_BITS)
+        out = _nw_pairs_sharded(
             seq_a, len_a, seq_b, len_b, sub_dev,
             _put(rows[order], flat, P("d")),
             _put(cols[order], flat, P("d")),
@@ -540,11 +596,17 @@ def sharded_nw_allpairs_bucketed(
             backend=chosen,
             score_i16=i16,
             group=group_g,
+            pack=pack,
         )
-        pending.append((gi, gj, npairs, inv_order, mt, ln))
-    for gi, gj, npairs, inv_order, mt, ln in pending:
-        mt = _fetch_global(mt)[inv_order].reshape(-1)[:npairs]
-        ln = _fetch_global(ln)[inv_order].reshape(-1)[:npairs]
+        pending.append((gi, gj, npairs, inv_order, pack, out))
+    for gi, gj, npairs, inv_order, pack, out in pending:
+        if pack:
+            packed = _fetch_global(out)[inv_order].reshape(-1)[:npairs]
+            mt = packed >> _PACK_BITS
+            ln = packed & _PACK_MASK
+        else:
+            mt = _fetch_global(out[0])[inv_order].reshape(-1)[:npairs]
+            ln = _fetch_global(out[1])[inv_order].reshape(-1)[:npairs]
         matches[gi, gj] = mt
         length[gi, gj] = ln
         matches[gj, gi] = mt

@@ -199,8 +199,11 @@ def test_band_limited_bit_exact(monkeypatch, make_seqs):
 def test_band_classes_alignment():
     from dynaalign_tpu.ops.nw_pallas import _band_classes
 
+    from dynaalign_tpu.ops.nw_pallas import _ALIGN
+
     for mp1 in (256, 568, 576, 1024, 2048):
-        classes = _band_classes(mp1)
-        assert classes[-1] == mp1
-        assert all((mp1 - w) % 32 == 0 for w in classes)
-        assert sorted(classes) == list(classes)
+        for n_classes in (4, 6, 8):
+            classes = _band_classes(mp1, n_classes)
+            assert classes[-1] == mp1
+            assert all((mp1 - w) % _ALIGN == 0 for w in classes)
+            assert sorted(classes) == list(classes)

@@ -52,6 +52,26 @@ def test_sharded_nw_matches_oracle(make_seqs):
     np.testing.assert_array_equal(sims, ref)
 
 
+def test_sharded_nw_multi_segment_dispatch(make_seqs):
+    """max_tiles_per_dispatch splits the sweep into several
+    identically-shaped XLA programs (the load-robust fused driver's
+    chunking for full-set runs); every segmentation must be bit-exact
+    vs the serial oracle."""
+    seqs = make_seqs(41, 5, 40)
+    enc = encode.encode(seqs)
+    sub = blosum.get_matrix("BLOSUM62")
+    ref = oracle.nw_similarity(seqs)
+    # tile=8 -> 6x7/2 = 21 tiles; force 2- and 3-segment splits (the
+    # quantum is ndev*group = 16 with 8 devices, so cap=16 gives
+    # seg=16 -> 2 dispatches; cap=8 floors at one quantum)
+    for cap in (16, 8):
+        sims = sharded_nw_allpairs(
+            enc.indices, enc.lengths, sub, tile=8,
+            max_tiles_per_dispatch=cap,
+        )
+        np.testing.assert_array_equal(sims, ref)
+
+
 def test_sharded_nw_small_mesh(make_seqs):
     # a 2-device sub-mesh must give identical results
     seqs = make_seqs(10, 5, 20)
