@@ -84,13 +84,15 @@ def nw_batch_tiled(
     a_idx, a_len, b_idx, b_len, sub, *,
     gap_open: int = 10, gap_ext: int = 4,
     backend: str = "auto", interpret: bool = False,
-    score_i16: bool = False,
+    score_i16: bool = False, min_split: int = 1,
 ):
     """Batched NW over [T, B, L] tile stacks — one launch for all tiles.
 
     Dispatches to the tiled Pallas sweep on TPU (dispatch overhead paid
     once per call instead of once per tile); off-TPU, lax.map of the
     scan kernel over the tile axis (bit-identical, bounded memory).
+    ``min_split`` forces at least that lane-batch split factor (drivers
+    retry with 2/4 after a terminal-side scoped-VMEM compile failure).
     """
     chosen = pick_nw_backend(
         a_idx.shape[2], b_idx.shape[2], backend, bsz=a_idx.shape[1]
@@ -100,7 +102,7 @@ def nw_batch_tiled(
             a_idx, a_len, b_idx, b_len, sub,
             layout="short" if chosen == "pallas_short" else "long",
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
-            score_i16=score_i16,
+            score_i16=score_i16, min_split=min_split,
         )
     import jax
 

@@ -132,6 +132,29 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
     )
 
 
+# Mosaic's scoped-VMEM stack for the long kernel measures ~85.5 bytes
+# per (mp1, B) cell (state planes + slab + temporaries; linear in both:
+# 24.85M at 568x512, 19.31M at 888x256) against a 16 MB limit.  Batches
+# whose mp1 * B product exceeds this budget are split along the tile
+# axis before launch (see _batch_split) so longer sequences (e.g. the
+# ~880 aa tail of the full h3n2 set) stay on the Pallas path instead of
+# failing to compile.
+_LONG_CELL_BUDGET = 180_000
+
+
+def _batch_split(mp1: int, bsz: int) -> int:
+    """Power-of-two factor f such that (bsz/f) * mp1 fits the scoped
+    VMEM budget; prefers keeping bsz/f a 128-lane multiple, but drops
+    below 128 lanes for very long sequences (mp1 > ~1400) where a full
+    lane tile cannot fit — underutilized lanes beat no kernel at all."""
+    f = 1
+    while bsz // f > 1 and (bsz // f) * mp1 > _LONG_CELL_BUDGET:
+        if (bsz // f) % 2:
+            break
+        f *= 2
+    return f
+
+
 def _i16_clamp_free(mp1: int, gap_open: int, gap_ext: int) -> bool:
     """True when the int16 path can skip the per-diagonal sentinel
     re-clamps entirely (3 vector maxes per cell saved).
@@ -337,8 +360,18 @@ def _kernel(
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
         return pltpu.roll(x, 1, 0)
 
-    def step_window(o, width):
-        """Run this step's n_diag diagonals on sublane window [o, o+W)."""
+    def step_window(o, width, borders=True):
+        """Run this step's n_diag diagonals on sublane window [o, o+W).
+
+        ``borders=False`` specializes the body for steps whose window
+        provably contains no border cell: once the window has ascended
+        past row 0 (o > 0) and every diagonal of the step exceeds the
+        last row index (d_first >= mp1), neither ``is0`` nor ``isd``
+        can hit, so the 9 border-masking selects are dead — and
+        ``best == m_cell`` exactly (the 3-way max with no border
+        overwrites), saving 2 more maxes.  ~18% fewer ops on the second
+        half of a square sweep.
+        """
         lane = o + jax.lax.broadcasted_iota(jnp.int32, (width, bsz), 0)
         local0 = jax.lax.broadcasted_iota(
             jnp.int32, (width, bsz), 0
@@ -407,17 +440,25 @@ def _kernel(
                 + 1  # length += 1 on every move
             )
 
-            border_gap = -go - (d1 - 1) * ge
-            is0 = lane == 0
-            isd = lane == d1
-            m_cell = jnp.where(is0 | isd, neg, m_cell)
-            ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
-            iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
-            s_cell = jnp.where(is0 | isd, d1, s_cell)
-            # interior: m_cell is already max(mnew, ix, iy); at borders
-            # the two extra maxes fold border_gap in — this is all
-            # diagonal d1's successors two steps ahead ever read
-            best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
+            if borders:
+                border_gap = -go - (d1 - 1) * ge
+                is0 = lane == 0
+                isd = lane == d1
+                m_cell = jnp.where(is0 | isd, neg, m_cell)
+                ix = jnp.where(
+                    isd, border_gap, jnp.where(is0, neg, ix)
+                )
+                iy = jnp.where(
+                    is0, border_gap, jnp.where(isd, neg, iy)
+                )
+                s_cell = jnp.where(is0 | isd, d1, s_cell)
+                # interior: m_cell is already max(mnew, ix, iy); at
+                # borders the two extra maxes fold border_gap in — this
+                # is all diagonal d1's successors two steps ahead read
+                best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
+            else:
+                # no border cell in the window: m_cell IS the 3-way max
+                best = m_cell
 
             # capture each pair's final cell (m, n) when its diagonal
             # arrives; guard the select+reduce behind a cheap any()
@@ -469,17 +510,22 @@ def _kernel(
         cls, _ = _band_select(g, n_diag, mp1, n_cols, band_classes)
         d_first = n_diag * g + 1
         lo = jnp.maximum(0, d_first - n_cols - 1)
+        # border cells can only appear while the window still touches
+        # row 0 (o == 0, possible iff lo < _ALIGN or wc == mp1) or some
+        # diagonal of the step is <= the last row index (isd hits)
+        no_borders = (lo >= _ALIGN) & (d_first >= mp1)
         for ci, wc in enumerate(band_classes):
-            @pl.when(cls == ci)
-            def _(wc=wc):
-                # mp1 - wc is _ALIGN-aligned by construction of the
-                # classes; keep `* _ALIGN` as the LAST op so Mosaic can
-                # statically prove the sublane offset's tile alignment
-                o = (
-                    jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN)
-                    * _ALIGN
-                )
-                step_window(o, wc)
+            for nb in (False, True):
+                @pl.when((cls == ci) & (no_borders == nb))
+                def _(wc=wc, nb=nb):
+                    # mp1 - wc is _ALIGN-aligned by construction of the
+                    # classes; keep `* _ALIGN` as the LAST op so Mosaic
+                    # can statically prove the offset's tile alignment
+                    o = (
+                        jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN)
+                        * _ALIGN
+                    )
+                    step_window(o, wc, borders=not nb)
     else:
         step_window(0, mp1)
 
@@ -522,6 +568,22 @@ def nw_similarity_batch_pallas(
         )
     mp1 = m + 1
     d_total = m + n
+    f = _batch_split(mp1, bsz)
+    if f > 1:
+        res = nw_similarity_tiles_pallas(
+            a_idx.reshape(f, bsz // f, m),
+            a_len.reshape(f, bsz // f),
+            b_idx.reshape(f, bsz // f, n),
+            b_len.reshape(f, bsz // f),
+            sub,
+            layout="long",
+            gap_open=gap_open, gap_ext=gap_ext,
+            interpret=interpret, score_i16=score_i16,
+        )
+        return NWResult(
+            matches=res.matches.reshape(bsz),
+            length=res.length.reshape(bsz),
+        )
 
     nd = _diags_per_step()
     d_pad = d_total + (-d_total % nd)
@@ -669,7 +731,7 @@ def _run_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "gap_open", "gap_ext", "interpret",
-                     "score_i16"),
+                     "score_i16", "min_split"),
 )
 def nw_similarity_tiles_pallas(
     a_idx: jnp.ndarray,  # int32 [T, B, M]
@@ -683,6 +745,7 @@ def nw_similarity_tiles_pallas(
     gap_ext: int = 4,
     interpret: bool = False,
     score_i16: bool = False,
+    min_split: int = 1,
 ) -> NWResult:
     """T independent pair tiles swept in ONE kernel launch.
 
@@ -703,6 +766,29 @@ def nw_similarity_tiles_pallas(
         )
     mp1 = m + 1
     d_total = m + n
+    f = _batch_split(mp1, bsz)
+    # drivers raise min_split after a terminal-side scoped-VMEM compile
+    # failure (the relay pool's limit/measurement is not uniform)
+    while f < min_split and bsz // f > 1 and (bsz // f) % 2 == 0:
+        f *= 2
+    if f > 1:
+        # split each tile's batch along the tile axis so the per-launch
+        # scratch fits scoped VMEM at this mp1 (consecutive pairs stay
+        # consecutive, so the reshape round-trips exactly)
+        res = nw_similarity_tiles_pallas(
+            a_idx.reshape(t_tiles * f, bsz // f, m),
+            a_len.reshape(t_tiles * f, bsz // f),
+            b_idx.reshape(t_tiles * f, bsz // f, n),
+            b_len.reshape(t_tiles * f, bsz // f),
+            sub,
+            layout="long",
+            gap_open=gap_open, gap_ext=gap_ext,
+            interpret=interpret, score_i16=score_i16,
+        )
+        return NWResult(
+            matches=res.matches.reshape(t_tiles, bsz),
+            length=res.length.reshape(t_tiles, bsz),
+        )
     nd = _diags_per_step()
     d_pad = d_total + (-d_total % nd)
 

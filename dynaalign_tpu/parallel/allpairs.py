@@ -190,7 +190,7 @@ _PACK_MASK = (1 << _PACK_BITS) - 1
     jax.jit,
     static_argnames=(
         "mesh", "tile", "gap_open", "gap_ext", "backend", "score_i16",
-        "group", "pack",
+        "group", "pack", "min_split",
     ),
 )
 def _nw_tiles_sharded(
@@ -208,6 +208,7 @@ def _nw_tiles_sharded(
     score_i16: bool = False,
     group: int = _SHARDED_GROUP,
     pack: bool = False,
+    min_split: int = 1,
 ):
     """Sweep T pair-tiles over the flattened mesh; T % (ndev*group) == 0.
 
@@ -240,7 +241,7 @@ def _nw_tiles_sharded(
                 jnp.tile(lb, (1, tile)),
                 submat,
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
-                score_i16=score_i16,
+                score_i16=score_i16, min_split=min_split,
             )
             mt = res.matches.reshape(group, tile, tile)
             ln = res.length.reshape(group, tile, tile)
@@ -343,36 +344,60 @@ def sharded_nw_allpairs(
     len_dev = _put(np.asarray(lengths, np.int32), flat, P())
     sub_dev = _put(np.asarray(sub, np.int32), flat, P())
     pack = 2 * seq_idx.shape[1] < (1 << _PACK_BITS)
-    pend = []
-    for s in range(0, n_tiles_padded, seg):
-        pend.append(_nw_tiles_sharded(
-            seq_dev,
-            len_dev,
-            sub_dev,
-            _put(tile_rows[s : s + seg], flat, P("d")),
-            _put(tile_cols[s : s + seg], flat, P("d")),
-            mesh=mesh,
-            tile=tile,
-            gap_open=gap_open,
-            gap_ext=gap_ext,
-            backend=chosen,
-            score_i16=i16,
-            group=group,
-            pack=pack,
-        ))
-    if pack:
-        packed = np.concatenate([_fetch_global(p) for p in pend])[
-            inv_order
-        ]
-        mt = packed >> _PACK_BITS
-        ln = packed & _PACK_MASK
-    else:
-        mt = np.concatenate([_fetch_global(p[0]) for p in pend])[
-            inv_order
-        ]
-        ln = np.concatenate([_fetch_global(p[1]) for p in pend])[
-            inv_order
-        ]
+
+    def sweep(min_split):
+        pend = []
+        for s in range(0, n_tiles_padded, seg):
+            pend.append(_nw_tiles_sharded(
+                seq_dev,
+                len_dev,
+                sub_dev,
+                _put(tile_rows[s : s + seg], flat, P("d")),
+                _put(tile_cols[s : s + seg], flat, P("d")),
+                mesh=mesh,
+                tile=tile,
+                gap_open=gap_open,
+                gap_ext=gap_ext,
+                backend=chosen,
+                score_i16=i16,
+                group=group,
+                pack=pack,
+                min_split=min_split,
+            ))
+        if pack:
+            packed = np.concatenate(
+                [_fetch_global(p) for p in pend]
+            )[inv_order]
+            return packed >> _PACK_BITS, packed & _PACK_MASK
+        return (
+            np.concatenate([_fetch_global(p[0]) for p in pend])[
+                inv_order
+            ],
+            np.concatenate([_fetch_global(p[1]) for p in pend])[
+                inv_order
+            ],
+        )
+
+    # scoped-VMEM headroom is not uniform across the relay pool: the
+    # same kernel shape has measured 12-19 MB of Mosaic stack against a
+    # 16 MB limit depending on which terminal compiles it.  On a
+    # scoped-VMEM compile failure, retry with a forced lane-batch split
+    # (new shapes -> fresh compile at half the per-launch scratch).
+    mt = ln = None
+    for min_split in (1, 2, 4):
+        try:
+            mt, ln = sweep(min_split)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e).lower()
+            if "vmem" not in msg or min_split == 4:
+                raise
+            import warnings
+
+            warnings.warn(
+                "scoped-VMEM compile failure; retrying the NW sweep "
+                f"with lane-batch split {min_split * 2}"
+            )
 
     matches = np.zeros((nb * tile, nb * tile), dtype=np.int64)
     length = np.zeros_like(matches)
@@ -396,7 +421,7 @@ def sharded_nw_allpairs(
     jax.jit,
     static_argnames=(
         "mesh", "batch", "gap_open", "gap_ext", "backend", "score_i16",
-        "group", "pack",
+        "group", "pack", "min_split",
     ),
 )
 def _nw_pairs_sharded(
@@ -416,6 +441,7 @@ def _nw_pairs_sharded(
     score_i16: bool = False,
     group: int = _SHARDED_GROUP,
     pack: bool = False,
+    min_split: int = 1,
 ):
     """Sweep T explicit-pair batches over the flattened mesh;
     T % (ndev*group) == 0.
@@ -440,7 +466,7 @@ def _nw_pairs_sharded(
                 jnp.take(lb, cc.reshape(-1)).reshape(group, batch),
                 submat,
                 gap_open=gap_open, gap_ext=gap_ext, backend=backend,
-                score_i16=score_i16,
+                score_i16=score_i16, min_split=min_split,
             )
             if pack:
                 return (res.matches << _PACK_BITS) | res.length
@@ -587,17 +613,32 @@ def sharded_nw_allpairs_bucketed(
             m_a, m_b, gap_open, gap_ext, sub
         )
         pack = m_a + m_b < (1 << _PACK_BITS)
-        out = _nw_pairs_sharded(
-            seq_a, len_a, seq_b, len_b, sub_dev,
-            _put(rows[order], flat, P("d")),
-            _put(cols[order], flat, P("d")),
-            mesh=mesh, batch=batch_g, gap_open=gap_open,
-            gap_ext=gap_ext,
-            backend=chosen,
-            score_i16=i16,
-            group=group_g,
-            pack=pack,
-        )
+        # per-group scoped-VMEM retry (see sharded_nw_allpairs: the
+        # relay pool's limit/measurement is not uniform across terminals)
+        for ms in (1, 2, 4):
+            try:
+                out = _nw_pairs_sharded(
+                    seq_a, len_a, seq_b, len_b, sub_dev,
+                    _put(rows[order], flat, P("d")),
+                    _put(cols[order], flat, P("d")),
+                    mesh=mesh, batch=batch_g, gap_open=gap_open,
+                    gap_ext=gap_ext,
+                    backend=chosen,
+                    score_i16=i16,
+                    group=group_g,
+                    pack=pack,
+                    min_split=ms,
+                )
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if "vmem" not in str(e).lower() or ms == 4:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "scoped-VMEM compile failure; retrying bucket "
+                    f"group with lane-batch split {ms * 2}"
+                )
         pending.append((gi, gj, npairs, inv_order, pack, out))
     for gi, gj, npairs, inv_order, pack, out in pending:
         if pack:

@@ -207,3 +207,31 @@ def test_band_classes_alignment():
             assert classes[-1] == mp1
             assert all((mp1 - w) % _ALIGN == 0 for w in classes)
             assert sorted(classes) == list(classes)
+
+
+def test_batch_split_vmem_budget():
+    """Long batches split along the tile axis so mp1 * B stays within
+    the measured scoped-VMEM stack budget (~85.5 B/cell, 16 MB limit)."""
+    from dynaalign_tpu.ops.nw_pallas import _LONG_CELL_BUDGET, _batch_split
+
+    assert _batch_split(568, 256) == 1  # the h3n2 headline shape fits
+    assert _batch_split(888, 256) == 2  # full-set tail (~880 aa)
+    assert _batch_split(1536, 256) == 4  # sub-128 lanes when forced
+    assert _batch_split(4000, 256) == 8
+    for mp1, b in ((568, 256), (888, 256), (1536, 256), (4000, 256)):
+        f = _batch_split(mp1, b)
+        assert (b // f) * mp1 <= _LONG_CELL_BUDGET or b // f == 1
+
+
+def test_batch_split_bit_exact(monkeypatch, make_seqs):
+    """The split path must be bit-identical to the unsplit kernel —
+    force a split at CI scale by shrinking the budget."""
+    from dynaalign_tpu.ops import nw_pallas as npx
+
+    monkeypatch.setattr(npx, "_LONG_CELL_BUDGET", 300)
+    assert npx._batch_split(72, 6) == 2
+    seqs = make_seqs(12, 30, 60, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:6], seqs[6:]))
+    np.testing.assert_array_equal(
+        _run(pairs, pad_to=71), _oracle(pairs)
+    )
