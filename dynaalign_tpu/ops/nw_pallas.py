@@ -510,22 +510,23 @@ def _kernel(
         cls, _ = _band_select(g, n_diag, mp1, n_cols, band_classes)
         d_first = n_diag * g + 1
         lo = jnp.maximum(0, d_first - n_cols - 1)
-        # border cells can only appear while the window still touches
-        # row 0 (o == 0, possible iff lo < _ALIGN or wc == mp1) or some
-        # diagonal of the step is <= the last row index (isd hits)
-        no_borders = (lo >= _ALIGN) & (d_first >= mp1)
+        # NOTE (probed dead end, round 4): specializing a second
+        # borderless body per class (borders=False once o > 0 and
+        # d_first >= mp1 — provably no is0/isd hit) is bit-exact but
+        # 7x SLOWER on chip (18.4 ms vs 2.5 ms/call): doubling the
+        # pl.when bodies per step wrecks Mosaic's schedule far more
+        # than the 11 saved ops help.  One body per class stays.
         for ci, wc in enumerate(band_classes):
-            for nb in (False, True):
-                @pl.when((cls == ci) & (no_borders == nb))
-                def _(wc=wc, nb=nb):
-                    # mp1 - wc is _ALIGN-aligned by construction of the
-                    # classes; keep `* _ALIGN` as the LAST op so Mosaic
-                    # can statically prove the offset's tile alignment
-                    o = (
-                        jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN)
-                        * _ALIGN
-                    )
-                    step_window(o, wc, borders=not nb)
+            @pl.when(cls == ci)
+            def _(wc=wc):
+                # mp1 - wc is _ALIGN-aligned by construction of the
+                # classes; keep `* _ALIGN` as the LAST op so Mosaic
+                # can statically prove the offset's tile alignment
+                o = (
+                    jnp.minimum(lo // _ALIGN, (mp1 - wc) // _ALIGN)
+                    * _ALIGN
+                )
+                step_window(o, wc)
     else:
         step_window(0, mp1)
 

@@ -283,18 +283,26 @@ def sharded_nw_allpairs(
     gap_ext: int = 4,
     mesh: Mesh | None = None,
     backend: str = "auto",
-    max_tiles_per_dispatch: int = 2048,
+    max_tiles_per_dispatch: int | None = None,
 ) -> np.ndarray:
     """All-pairs NW percent-identity on a mesh.  Returns float64 [N, N].
 
     The upper-triangular tile grid (including diagonal tiles, mirroring
     the reference driver src/pairwiseSeqAlign.cpp:340-352) is round-robin
     assigned across devices; each device runs the batched wavefront DP
-    over its tiles.  ``max_tiles_per_dispatch`` caps how many tiles one
-    XLA program sweeps (~5 s of device time per dispatch at h3n2 scale):
-    a full-set run dispatches a handful of identically-shaped programs
-    that pipeline back-to-back instead of one unbounded-duration RPC.
+    over its tiles.  ``max_tiles_per_dispatch`` (default 1024, env
+    DYNAALIGN_NW_SEG) caps how many tiles one XLA program sweeps
+    (~2.5 s of device time per dispatch at h3n2 scale): sweeps dispatch
+    several identically-shaped programs that pipeline back-to-back —
+    bounding per-RPC duration AND overlapping each segment's packed
+    fetch with the next segment's compute.
     """
+    if max_tiles_per_dispatch is None:
+        import os
+
+        max_tiles_per_dispatch = int(
+            os.environ.get("DYNAALIGN_NW_SEG", "1024")
+        )
     if mesh is None:
         mesh = make_mesh()
     ndev = mesh.devices.size
