@@ -176,8 +176,14 @@ def sharded_minhash_similarity(
 
 # how many pair tiles each device folds into one kernel launch inside
 # the sharded sweep (bounds the per-launch scoring-input HBM footprint;
-# the Pallas grid's tile axis runs them back-to-back in one dispatch)
-_SHARDED_GROUP = 8
+# the Pallas grid's tile axis runs them back-to-back in one dispatch).
+# Probed on-chip at h3n2 scale, n=1000, same relay window (round 4):
+# group=8 80.2k pairs/s, group=16 44.7k, group=32 44.9k — larger
+# launches serialize the per-group scoring-input production against the
+# sweep instead of interleaving them.  DYNAALIGN_NW_GROUP re-probes.
+import os as _os
+
+_SHARDED_GROUP = int(_os.environ.get("DYNAALIGN_NW_GROUP", "8"))
 
 # (matches << 13) | length packing for the fetched result blocks —
 # the same 13-bit budget as the Pallas kernel's in-flight stats

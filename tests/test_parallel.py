@@ -112,3 +112,48 @@ def test_sharded_nw_bucketed_single_bucket(make_seqs):
         seqs, blosum.get_matrix("BLOSUM62"), batch=16
     )
     np.testing.assert_array_equal(got, oracle.nw_similarity(seqs))
+
+
+def test_sharded_nw_vmem_retry(make_seqs, monkeypatch):
+    """A scoped-VMEM compile failure (terminal-dependent on the relay
+    pool) must transparently retry the sweep with a forced lane-batch
+    split and still return oracle-exact results."""
+    import warnings
+
+    from dynaalign_tpu.parallel import allpairs as ap
+
+    real = ap._nw_tiles_sharded
+    calls = []
+
+    def flaky(*args, **kwargs):
+        calls.append(kwargs.get("min_split"))
+        if kwargs.get("min_split") == 1:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: Scoped allocation ... exceeded scoped vmem "
+                "limit"
+            )
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ap, "_nw_tiles_sharded", flaky)
+    seqs = make_seqs(20, 5, 30)
+    enc = encode.encode(seqs)
+    sub = blosum.get_matrix("BLOSUM62")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sims = ap.sharded_nw_allpairs(enc.indices, enc.lengths, sub, tile=8)
+    assert any("scoped-VMEM" in str(x.message) for x in w)
+    assert 1 in calls and 2 in calls
+    np.testing.assert_array_equal(sims, oracle.nw_similarity(seqs))
+
+
+def test_sharded_nw_vmem_retry_non_vmem_error_propagates(monkeypatch):
+    from dynaalign_tpu.parallel import allpairs as ap
+
+    def broken(*args, **kwargs):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something else")
+
+    monkeypatch.setattr(ap, "_nw_tiles_sharded", broken)
+    enc = encode.encode(["ARNDA", "ARNDC"])
+    sub = blosum.get_matrix("BLOSUM62")
+    with pytest.raises(jax.errors.JaxRuntimeError, match="something else"):
+        ap.sharded_nw_allpairs(enc.indices, enc.lengths, sub, tile=2)
