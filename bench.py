@@ -29,7 +29,7 @@ import numpy as np
 N_SEQS = int(os.environ.get("BENCH_NW_SEQS", "1000"))
 N_SMALL = int(os.environ.get("BENCH_NW_SMALL", "256"))
 N_BASELINE = int(os.environ.get("BENCH_BASELINE_SEQS", "24"))
-REPS = int(os.environ.get("BENCH_REPS", "4"))
+REPS = int(os.environ.get("BENCH_REPS", "6"))
 
 
 def main():
