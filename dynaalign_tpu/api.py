@@ -427,10 +427,11 @@ def similarity_nw(
         # the long regime runs one launch per pair tile (tc == 1,
         # _tiles_per_launch); past the threshold, route through the
         # fused single-dispatch sharded driver on a 1x1 mesh — the same
-        # stacked/banded/i16 kernels inside ONE XLA program per ~2048
+        # stacked/banded/i16 kernels inside ONE XLA program per ~1024
         # tiles, bit-exact vs this driver (tests/test_parallel.py,
-        # bench.py sharded_1x1_bit_exact) and ~5x more robust to relay
-        # load windows (see _FUSED_LAUNCH_THRESHOLD).
+        # tests/test_api_surface.py fused-routing test, and bench.py's
+        # fused_equals_direct field every run) and ~5x more robust to
+        # relay load windows (see _FUSED_LAUNCH_THRESHOLD).
         import os as _os
 
         env = _os.environ.get("DYNAALIGN_NW_FUSED", "")
@@ -442,13 +443,19 @@ def similarity_nw(
 
             from .parallel import sharded_nw_allpairs
 
+            # the sharded driver re-picks its backend from the pair
+            # batch (tile^2); a user tile whose square is not a
+            # 128-multiple would silently drop the sweep to the scan
+            # backend, so the fused route uses its own tile — the tile
+            # is a blocking knob, not part of the result
+            t_fused = t if (t * t) % 128 == 0 else 16
             mesh_1x1 = Mesh(
                 np.array(jax.devices()[:1]).reshape(1, 1),
                 ("rows", "cols"),
             )
             return sharded_nw_allpairs(
                 enc.indices, enc.lengths, sub_np,
-                tile=t, gap_open=gap_open, gap_ext=gap_ext,
+                tile=t_fused, gap_open=gap_open, gap_ext=gap_ext,
                 mesh=mesh_1x1,
             )
     # pad index space so every block is full; padded entries masked later

@@ -143,10 +143,11 @@ _LONG_CELL_BUDGET = 180_000
 
 
 def _batch_split(mp1: int, bsz: int) -> int:
-    """Power-of-two factor f such that (bsz/f) * mp1 fits the scoped
-    VMEM budget; prefers keeping bsz/f a 128-lane multiple, but drops
-    below 128 lanes for very long sequences (mp1 > ~1400) where a full
-    lane tile cannot fit — underutilized lanes beat no kernel at all."""
+    """Smallest power-of-two factor f such that (bsz/f) * mp1 fits the
+    scoped VMEM budget (halving stops at odd or single-pair batches).
+    The resulting bsz/f may drop below 128 lanes for very long
+    sequences (e.g. 64 lanes at mp1=1536) — underutilized lanes beat
+    no kernel at all."""
     f = 1
     while bsz // f > 1 and (bsz // f) * mp1 > _LONG_CELL_BUDGET:
         if (bsz // f) % 2:
@@ -360,18 +361,8 @@ def _kernel(
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
         return pltpu.roll(x, 1, 0)
 
-    def step_window(o, width, borders=True):
-        """Run this step's n_diag diagonals on sublane window [o, o+W).
-
-        ``borders=False`` specializes the body for steps whose window
-        provably contains no border cell: once the window has ascended
-        past row 0 (o > 0) and every diagonal of the step exceeds the
-        last row index (d_first >= mp1), neither ``is0`` nor ``isd``
-        can hit, so the 9 border-masking selects are dead — and
-        ``best == m_cell`` exactly (the 3-way max with no border
-        overwrites), saving 2 more maxes.  ~18% fewer ops on the second
-        half of a square sweep.
-        """
+    def step_window(o, width):
+        """Run this step's n_diag diagonals on sublane window [o, o+W)."""
         lane = o + jax.lax.broadcasted_iota(jnp.int32, (width, bsz), 0)
         local0 = jax.lax.broadcasted_iota(
             jnp.int32, (width, bsz), 0
@@ -440,25 +431,17 @@ def _kernel(
                 + 1  # length += 1 on every move
             )
 
-            if borders:
-                border_gap = -go - (d1 - 1) * ge
-                is0 = lane == 0
-                isd = lane == d1
-                m_cell = jnp.where(is0 | isd, neg, m_cell)
-                ix = jnp.where(
-                    isd, border_gap, jnp.where(is0, neg, ix)
-                )
-                iy = jnp.where(
-                    is0, border_gap, jnp.where(isd, neg, iy)
-                )
-                s_cell = jnp.where(is0 | isd, d1, s_cell)
-                # interior: m_cell is already max(mnew, ix, iy); at
-                # borders the two extra maxes fold border_gap in — this
-                # is all diagonal d1's successors two steps ahead read
-                best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
-            else:
-                # no border cell in the window: m_cell IS the 3-way max
-                best = m_cell
+            border_gap = -go - (d1 - 1) * ge
+            is0 = lane == 0
+            isd = lane == d1
+            m_cell = jnp.where(is0 | isd, neg, m_cell)
+            ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
+            iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
+            s_cell = jnp.where(is0 | isd, d1, s_cell)
+            # interior: m_cell is already max(mnew, ix, iy); at borders
+            # the two extra maxes fold border_gap in — this is all
+            # diagonal d1's successors two steps ahead ever read
+            best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
 
             # capture each pair's final cell (m, n) when its diagonal
             # arrives; guard the select+reduce behind a cheap any()

@@ -44,3 +44,40 @@ def test_quick_end_to_end_through_root():
     assert len(member) == len(seqs)
     res = da.minhash(seqs, 2, 16, seed=0)
     assert res["dist_matrix"].shape == (len(seqs), len(seqs))
+
+
+def test_similarity_nw_fused_routing_bit_exact(monkeypatch):
+    """The default fused-dispatch route in similarity_nw (taken on TPU
+    once the sweep exceeds _FUSED_LAUNCH_THRESHOLD tiles) must return
+    exactly what the direct per-tile driver returns.  The branch needs
+    tpu_available() == True, unreachable on the CPU mesh — fake it; the
+    sharded driver then auto-picks the scan backend and stays
+    bit-exact, covering the routing glue (shape/padding handoff, tile
+    adjustment, env gate) in CI."""
+    import numpy as np
+
+    from dynaalign_tpu import api, oracle
+
+    monkeypatch.setattr(api, "tpu_available", lambda: True)
+    rng = np.random.default_rng(5)
+    aas = list("ARNDCQEGHILKMFPSTWYV")
+    # > 127 aa forces the long regime; 97 seqs -> 7x16 blocks -> 28
+    # tiles > threshold (24), so the fused branch fires
+    seqs = [
+        "".join(rng.choice(aas, size=int(n)))
+        for n in rng.integers(128, 150, size=97)
+    ]
+    # (the direct DYNAALIGN_NW_FUSED=0 leg would force real Pallas on
+    # the CPU backend and cannot run here; the fused route's sharded
+    # driver re-picks scan internally and must equal the oracle)
+    fused = api.similarity_nw(seqs, tile=16)
+    np.testing.assert_array_equal(
+        fused, oracle.nw_similarity(seqs, n_threads=0)
+    )
+    # odd tile: the fused route must not silently drop to a slower
+    # backend on TPU; on CPU it still agrees with the oracle
+    # 56 seqs at tile=8 -> 7x8 blocks -> 28 tiles, still > threshold
+    fused_odd = api.similarity_nw(seqs[:56], tile=8)
+    np.testing.assert_array_equal(
+        fused_odd, oracle.nw_similarity(seqs[:56], n_threads=0)
+    )
