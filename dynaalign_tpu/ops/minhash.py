@@ -66,10 +66,10 @@ def minhash_signatures(
 
     Chunked over sequences so the [chunk, P, H] hash tensor stays well
     under HBM limits for long-sequence workloads.  ``chunk=None``
-    (default) sizes chunks to a ~64 MB hash tensor, rounded to a power
-    of two in [64, 65536] so the compiled-shape family stays small —
-    short peptides take few large dispatches, long proteins many small
-    ones (the floor is 64 rows so the 64 MB target holds even for
+    (default) sizes chunks to a ~256 MB hash tensor (HBM is 16 GB;
+    every extra dispatch is a relay RPC, so fewer-larger wins), rounded
+    to a power of two in [64, 131072] so the compiled-shape family
+    stays small (the floor is 64 rows so the target holds even for
     multi-kilobase proteins at large n_hash; below that the tensor can
     exceed the target, but only by the one-row minimum).
     """
@@ -85,8 +85,10 @@ def minhash_signatures(
         return jnp.full((n, n_hash), _UINT32_MAX, dtype=jnp.uint32)
     if chunk is None:
         p = length - k + 1
-        fit = (64 << 20) // max(p * n_hash * 4, 1)
-        chunk = int(np.clip(1 << max(fit, 1).bit_length() - 1, 64, 65536))
+        fit = (256 << 20) // max(p * n_hash * 4, 1)
+        chunk = int(
+            np.clip(1 << max(fit, 1).bit_length() - 1, 64, 131072)
+        )
     seeds = jnp.asarray(hash_family_seeds(n_hash, seed))
     if n <= chunk:
         return _signatures_kernel(ascii_tokens, lengths, seeds, k=k)
