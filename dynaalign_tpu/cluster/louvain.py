@@ -176,11 +176,25 @@ def _one_level(
     max_passes: int = 32,
 ) -> np.ndarray:
     """Phase 1: greedy node moves until no improvement.  Returns community
-    assignment (not renumbered)."""
+    assignment (not renumbered).
+
+    The per-pass node loop runs in native C++ when available
+    (cpp/louvain_pass.cpp, an exact IEEE-double transcription — one
+    ctypes call per pass so the rng.permutation stream advances
+    identically); the numpy loop below is the reference fallback and
+    the bit-exactness oracle for the native path.
+    """
+    from ._native import native_louvain_pass
+
     n = len(indptr) - 1
     comm = np.arange(n, dtype=np.int64)
     sum_tot = strengths.copy()  # per community total strength
     gamma = resolution
+
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices64 = np.ascontiguousarray(indices, dtype=np.int64)
+    data64 = np.ascontiguousarray(data, dtype=np.float64)
+    strengths64 = np.ascontiguousarray(strengths, dtype=np.float64)
 
     improved_any = True
     passes = 0
@@ -188,6 +202,14 @@ def _one_level(
         improved_any = False
         passes += 1
         order = rng.permutation(n)
+        moved = native_louvain_pass(
+            indptr64, indices64, data64, strengths64, float(two_m),
+            float(gamma), np.ascontiguousarray(order, dtype=np.int64),
+            comm, sum_tot,
+        )
+        if moved is not None:
+            improved_any = moved
+            continue
         for v in order:
             cv = comm[v]
             kv = strengths[v]

@@ -248,3 +248,37 @@ def test_louvain_sync_default_threshold_large_graph():
     assert res.modularity > 0.5
     res2 = louvain(adj, resolution=1.05, seed=0)
     np.testing.assert_array_equal(res.membership, res2.membership)
+
+
+def test_louvain_native_pass_bit_identical_to_numpy(monkeypatch):
+    """cpp/louvain_pass.cpp must reproduce the numpy greedy pass
+    exactly — same memberships, same modularity — across graph shapes,
+    resolutions and seeds (it transcribes the same IEEE-double
+    arithmetic and consumes the same rng.permutation stream)."""
+    from dynaalign_tpu.cluster._native import native_louvain_pass
+
+    probe = native_louvain_pass(
+        np.array([0, 0], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.float64),
+        np.array([1.0]), 2.0, 1.0,
+        np.array([0], dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([1.0]),
+    )
+    if probe is None:
+        pytest.skip("native louvain kernel unavailable")
+    cases = [
+        three_blocks(n_per=30, seed=2)[0],
+        three_blocks(n_per=13, p_in=0.6, p_out=0.2, seed=7)[0],
+        _planted_sparse(10, 80, intra=6, inter=2, seed=4)[0].toarray(),
+    ]
+    for i, sim in enumerate(cases):
+        for res in (1.0, 1.05):
+            adj = sparse.csr_matrix(sim)
+            got = louvain(adj, resolution=res, seed=i)
+            monkeypatch.setenv("DYNAALIGN_LOUVAIN_NATIVE", "0")
+            want = louvain(adj, resolution=res, seed=i)
+            monkeypatch.delenv("DYNAALIGN_LOUVAIN_NATIVE")
+            np.testing.assert_array_equal(got.membership, want.membership)
+            assert got.modularity == want.modularity
