@@ -1,9 +1,10 @@
 """ctypes loader for the native greedy Louvain pass (cpp/louvain_pass.cpp).
 
-Build-on-demand like the oracle/MSA bindings; falls back to the numpy
-per-node loop when g++/make are unavailable or the build fails, and can
-be disabled with ``DYNAALIGN_LOUVAIN_NATIVE=0``.  The native pass is an
-exact IEEE-double transcription of the numpy loop, so memberships are
+Build-on-demand via the shared optional-kernel loader
+(utils/native.py); falls back to the numpy per-node loop when g++/make
+are unavailable or the build fails, and can be disabled with
+``DYNAALIGN_LOUVAIN_NATIVE=0``.  The native pass is an exact
+IEEE-double transcription of the numpy loop, so memberships are
 bit-identical (tests/test_cluster.py asserts this).
 """
 
@@ -12,30 +13,13 @@ from __future__ import annotations
 import ctypes
 import functools
 import os
-import subprocess
 
 import numpy as np
 
-_CPP_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "cpp"
-)
-_SO = os.path.join(_CPP_DIR, "liblouvain.so")
+from ..utils.native import load_native_lib
 
 
-@functools.cache
-def _lib() -> ctypes.CDLL | None:
-    try:
-        src = os.path.join(_CPP_DIR, "louvain_pass.cpp")
-        if not os.path.exists(_SO) or os.path.getmtime(
-            _SO
-        ) < os.path.getmtime(src):
-            subprocess.run(
-                ["make", "-C", _CPP_DIR, "-s", "liblouvain.so"],
-                check=True,
-            )
-        lib = ctypes.CDLL(_SO)
-    except (OSError, subprocess.SubprocessError):
-        return None
+def _setup(lib: ctypes.CDLL) -> None:
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.dyna_louvain_pass.restype = ctypes.c_int64
@@ -44,7 +28,19 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.c_double, ctypes.c_double,
         i64p, i64p, f64p,
     ]
-    return lib
+
+
+@functools.cache
+def _lib() -> ctypes.CDLL | None:
+    return load_native_lib("liblouvain.so", "louvain_pass.cpp", _setup)
+
+
+def louvain_native_available() -> bool:
+    """Whether the native pass will actually run (env honored per call,
+    so callers can skip ctypes-ready array staging on the numpy path)."""
+    if os.environ.get("DYNAALIGN_LOUVAIN_NATIVE", "1") == "0":
+        return False
+    return _lib() is not None
 
 
 def native_louvain_pass(
@@ -61,15 +57,11 @@ def native_louvain_pass(
     """Run one greedy pass in place; returns whether any node moved, or
     None when the native kernel is unavailable.
 
-    ``comm`` (int64) and ``sum_tot`` (float64) are modified in place;
-    ``DYNAALIGN_LOUVAIN_NATIVE=0`` is honored per call so tests can
-    compare both paths in one process.
+    ``comm`` (int64) and ``sum_tot`` (float64) are modified in place.
     """
-    if os.environ.get("DYNAALIGN_LOUVAIN_NATIVE", "1") == "0":
+    if not louvain_native_available():
         return None
     lib = _lib()
-    if lib is None:
-        return None
     n = len(comm)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)

@@ -184,17 +184,22 @@ def _one_level(
     identically); the numpy loop below is the reference fallback and
     the bit-exactness oracle for the native path.
     """
-    from ._native import native_louvain_pass
+    from ._native import louvain_native_available, native_louvain_pass
 
     n = len(indptr) - 1
     comm = np.arange(n, dtype=np.int64)
     sum_tot = strengths.copy()  # per community total strength
     gamma = resolution
 
-    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
-    indices64 = np.ascontiguousarray(indices, dtype=np.int64)
-    data64 = np.ascontiguousarray(data, dtype=np.float64)
-    strengths64 = np.ascontiguousarray(strengths, dtype=np.float64)
+    # stage ctypes-ready int64/float64 views only when the native pass
+    # will actually run (scipy CSR uses int32 indices; the copies are
+    # pure waste on the numpy fallback path)
+    use_native = louvain_native_available()
+    if use_native:
+        indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices64 = np.ascontiguousarray(indices, dtype=np.int64)
+        data64 = np.ascontiguousarray(data, dtype=np.float64)
+        strengths64 = np.ascontiguousarray(strengths, dtype=np.float64)
 
     improved_any = True
     passes = 0
@@ -202,13 +207,13 @@ def _one_level(
         improved_any = False
         passes += 1
         order = rng.permutation(n)
-        moved = native_louvain_pass(
-            indptr64, indices64, data64, strengths64, float(two_m),
-            float(gamma), np.ascontiguousarray(order, dtype=np.int64),
-            comm, sum_tot,
-        )
-        if moved is not None:
-            improved_any = moved
+        if use_native:
+            improved_any = bool(native_louvain_pass(
+                indptr64, indices64, data64, strengths64, float(two_m),
+                float(gamma),
+                np.ascontiguousarray(order, dtype=np.int64),
+                comm, sum_tot,
+            ))
             continue
         for v in order:
             cv = comm[v]

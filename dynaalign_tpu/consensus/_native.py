@@ -1,10 +1,11 @@
 """ctypes loader for the native MSA profile-DP kernel (cpp/msa_dp.cpp).
 
-Build-on-demand like the oracle bindings (oracle.py); falls back to the
-numpy row DP when g++/make are unavailable or the build fails, and can
-be disabled with ``DYNAALIGN_MSA_NATIVE=0``.  The native kernel is an
-exact IEEE-double transcription of the numpy formulation, so tracebacks
-are bit-identical (tests/test_consensus.py asserts this).
+Build-on-demand via the shared optional-kernel loader
+(utils/native.py); falls back to the numpy row DP when g++/make are
+unavailable or the build fails, and can be disabled with
+``DYNAALIGN_MSA_NATIVE=0``.  The native kernel is an exact IEEE-double
+transcription of the numpy formulation, so tracebacks are
+bit-identical (tests/test_consensus.py asserts this).
 """
 
 from __future__ import annotations
@@ -12,29 +13,13 @@ from __future__ import annotations
 import ctypes
 import functools
 import os
-import subprocess
 
 import numpy as np
 
-_CPP_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "cpp"
-)
-_SO = os.path.join(_CPP_DIR, "libmsadp.so")
+from ..utils.native import load_native_lib
 
 
-@functools.cache
-def _lib() -> ctypes.CDLL | None:
-    try:
-        src = os.path.join(_CPP_DIR, "msa_dp.cpp")
-        if not os.path.exists(_SO) or os.path.getmtime(
-            _SO
-        ) < os.path.getmtime(src):
-            subprocess.run(
-                ["make", "-C", _CPP_DIR, "-s", "libmsadp.so"], check=True
-            )
-        lib = ctypes.CDLL(_SO)
-    except (OSError, subprocess.SubprocessError):
-        return None
+def _setup(lib: ctypes.CDLL) -> None:
     f64p = ctypes.POINTER(ctypes.c_double)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.dyna_msa_row_dp.restype = None
@@ -42,7 +27,11 @@ def _lib() -> ctypes.CDLL | None:
         f64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, u8p,
     ]
-    return lib
+
+
+@functools.cache
+def _lib() -> ctypes.CDLL | None:
+    return load_native_lib("libmsadp.so", "msa_dp.cpp", _setup)
 
 
 def native_row_dp(
