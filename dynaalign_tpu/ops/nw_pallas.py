@@ -281,6 +281,7 @@ def _kernel(
     n_diag: int = 2,
     n_cols: int = 0,  # padded b-side length N (for the band window)
     band_classes: tuple = (),
+    debug: str = "",  # measurement-only stage ablation (WRONG results)
 ):
     """``n_diag`` anti-diagonals per grid step.
 
@@ -312,8 +313,8 @@ def _kernel(
     plane is dead work.  Each step computes only a sublane window
     [o, o+W) where W is the smallest static width class covering the
     step's band (reads also need row lo-1 for the ancestor shift) and o
-    is the band start aligned down to 32 (the int8 sublane tile, which
-    also satisfies the int16/int32 tiles).  Correctness does not depend
+    is the band start aligned down to _ALIGN (16: the finest alignment
+    every plane's memory tile admits).  Correctness does not depend
     on the window: rows above the band keep their init values until
     their first border diagonal masks all state anyway, rows below the
     band are never read again (the band only ascends), and the roll
@@ -422,14 +423,18 @@ def _kernel(
             d_sel = mnew >= mxy  # priority D > U > L
             u_sel = (~d_sel) & (ix >= iy)
             m_cell = jnp.maximum(mnew, mxy)  # == the D/U/L-selected value
-            s_cell = (
-                jnp.where(
-                    d_sel,
-                    sh(qS) + (match << _LN_BITS),
-                    jnp.where(u_sel, sh(pS), pS),
+            if debug == "nostat":
+                s_cell = pS  # ablate the packed-stats chain (2 rolls +
+                # 2 selects + 2 adds) to measure its share
+            else:
+                s_cell = (
+                    jnp.where(
+                        d_sel,
+                        sh(qS) + (match << _LN_BITS),
+                        jnp.where(u_sel, sh(pS), pS),
+                    )
+                    + 1  # length += 1 on every move
                 )
-                + 1  # length += 1 on every move
-            )
 
             border_gap = -go - (d1 - 1) * ge
             is0 = lane == 0
@@ -471,12 +476,17 @@ def _kernel(
         prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
         c_cur = c_pl[win]
         for t in range(n_diag):
-            # advance the c-plane: row i inherits row i-1's b-char; the
-            # window-top row takes this diagonal's streamed fresh char
-            c_cur = jnp.where(
-                local0, bstr_ref[0, 0, t, :], sh(c_cur)
-            )
-            score, match = score_diag(c_cur)
+            if debug == "noscore":
+                # ablate the whole scoring block (c-plane roll+insert,
+                # 5-select tree, byte extract) to measure its share
+                score, match = jnp.int32(1), jnp.int32(1)
+            else:
+                # advance the c-plane: row i inherits row i-1's b-char;
+                # the window-top row takes this step's streamed char
+                c_cur = jnp.where(
+                    local0, bstr_ref[0, 0, t, :], sh(c_cur)
+                )
+                score, match = score_diag(c_cur)
             new = cell(d0 + t + 1, score, match, prev, prev2)
             prev2 = (prev_best, prev[3])
             prev = new[:4]
@@ -653,6 +663,10 @@ def _run_kernel(
         i16_clamp=not _i16_clamp_free(mp1, gap_open, gap_ext),
         n_diag=n_diag, n_cols=n_cols,
         band_classes=band_classes,
+        # stage-ablation knob for tools/probe_kernel.py ONLY: results
+        # are wrong under any non-empty value (fresh process required —
+        # the jit cache does not key on env)
+        debug=os.environ.get("DYNAALIGN_NW_DEBUG", ""),
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
