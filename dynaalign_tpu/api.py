@@ -456,7 +456,7 @@ def similarity_nw(
             return sharded_nw_allpairs(
                 enc.indices, enc.lengths, sub_np,
                 tile=t_fused, gap_open=gap_open, gap_ext=gap_ext,
-                mesh=mesh_1x1,
+                mesh=mesh_1x1, progress=progress,
             )
     # pad index space so every block is full; padded entries masked later
     pad_n = nb * t

@@ -208,13 +208,22 @@ def _one_level(
         passes += 1
         order = rng.permutation(n)
         if use_native:
-            improved_any = bool(native_louvain_pass(
+            res = native_louvain_pass(
                 indptr64, indices64, data64, strengths64, float(two_m),
                 float(gamma),
                 np.ascontiguousarray(order, dtype=np.int64),
                 comm, sum_tot,
-            ))
-            continue
+            )
+            if res is None:
+                # the native kernel became unavailable mid-run (e.g.
+                # DYNAALIGN_LOUVAIN_NATIVE flipped between passes).
+                # None is NOT "no improvement" — fall through to the
+                # numpy loop for this and all later passes so the level
+                # cannot terminate early with a non-converged partition.
+                use_native = False
+            else:
+                improved_any = bool(res)
+                continue
         for v in order:
             cv = comm[v]
             kv = strengths[v]

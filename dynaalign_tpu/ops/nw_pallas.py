@@ -530,7 +530,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_open", "gap_ext", "interpret", "score_i16"),
+    static_argnames=(
+        "gap_open", "gap_ext", "interpret", "score_i16", "debug"
+    ),
 )
 def nw_similarity_batch_pallas(
     a_idx: jnp.ndarray,  # int32 [B, M]
@@ -543,6 +545,7 @@ def nw_similarity_batch_pallas(
     gap_ext: int = 4,
     interpret: bool = False,
     score_i16: bool = False,
+    debug: str = "",
 ) -> NWResult:
     """(matches, alignment_length) per pair — Pallas TPU fast path.
 
@@ -572,7 +575,7 @@ def nw_similarity_batch_pallas(
             sub,
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
-            interpret=interpret, score_i16=score_i16,
+            interpret=interpret, score_i16=score_i16, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(bsz),
@@ -590,7 +593,7 @@ def nw_similarity_batch_pallas(
     out = _run_kernel(
         slab[None], bstream[None], alen, fd, (mp1, bsz), d_pad,
         gap_open, gap_ext, interpret, score_i16, nd, n,
-        _band_enabled(mp1),
+        _band_enabled(mp1), debug,
     )
     packed = out[0, 0, :]
     return NWResult(
@@ -635,9 +638,15 @@ def _band_enabled(mp1: int) -> bool:
 
 def _run_kernel(
     slab, bstream, alen, fd, shape, d_total, gap_open, gap_ext,
-    interpret, i16=False, n_diag=2, n_cols=0, band=False,
+    interpret, i16=False, n_diag=2, n_cols=0, band=False, debug="",
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
+
+    ``debug`` is the measurement-only stage-ablation knob (results are
+    WRONG under any non-empty value).  It is an explicit argument —
+    plumbed through the public entry points' jit cache keys — so probes
+    (tools/probe_kernel.py) must opt in per call; production drivers
+    never set it and the environment is never consulted here.
 
     slab: [T, 6, Mp1, B] packed substitution rows; bstream: [T, D, B]
     per-diagonal fresh b-chars; alen/fd: [T, 1, B]; returns [T, 1, B].
@@ -663,10 +672,7 @@ def _run_kernel(
         i16_clamp=not _i16_clamp_free(mp1, gap_open, gap_ext),
         n_diag=n_diag, n_cols=n_cols,
         band_classes=band_classes,
-        # stage-ablation knob for tools/probe_kernel.py ONLY: results
-        # are wrong under any non-empty value (fresh process required —
-        # the jit cache does not key on env)
-        debug=os.environ.get("DYNAALIGN_NW_DEBUG", ""),
+        debug=debug,
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
@@ -729,7 +735,7 @@ def _run_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "gap_open", "gap_ext", "interpret",
-                     "score_i16", "min_split"),
+                     "score_i16", "min_split", "debug"),
 )
 def nw_similarity_tiles_pallas(
     a_idx: jnp.ndarray,  # int32 [T, B, M]
@@ -744,6 +750,7 @@ def nw_similarity_tiles_pallas(
     interpret: bool = False,
     score_i16: bool = False,
     min_split: int = 1,
+    debug: str = "",
 ) -> NWResult:
     """T independent pair tiles swept in ONE kernel launch.
 
@@ -781,7 +788,7 @@ def nw_similarity_tiles_pallas(
             sub,
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
-            interpret=interpret, score_i16=score_i16,
+            interpret=interpret, score_i16=score_i16, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(t_tiles, bsz),
@@ -803,7 +810,7 @@ def nw_similarity_tiles_pallas(
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
         slab, bstream, alen, fd, (mp1, bsz), d_pad, gap_open, gap_ext,
-        interpret, score_i16, nd, n, _band_enabled(mp1),
+        interpret, score_i16, nd, n, _band_enabled(mp1), debug,
     )
     packed = out[:, 0, :]  # [T, B]
     return NWResult(

@@ -290,6 +290,7 @@ def sharded_nw_allpairs(
     mesh: Mesh | None = None,
     backend: str = "auto",
     max_tiles_per_dispatch: int | None = None,
+    progress: bool = False,
 ) -> np.ndarray:
     """All-pairs NW percent-identity on a mesh.  Returns float64 [N, N].
 
@@ -361,7 +362,17 @@ def sharded_nw_allpairs(
 
     def sweep(min_split):
         pend = []
+        n_disp = n_tiles_padded // seg
         for s in range(0, n_tiles_padded, seg):
+            if progress:
+                # coarse per-dispatch progress (the fused path's
+                # analogue of the direct driver's per-launch lines);
+                # dispatch is async, so this marks enqueue, not finish
+                print(
+                    f"nw: dispatch {s // seg + 1}/{n_disp} "
+                    f"({seg} tiles each)",
+                    flush=True,
+                )
             pend.append(_nw_tiles_sharded(
                 seq_dev,
                 len_dev,

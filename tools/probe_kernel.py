@@ -10,6 +10,12 @@ probes one compiled configuration:
   DYNAALIGN_NW_BAND_CLASSES (default 6)   DYNAALIGN_NW_DIAGS (default 2)
   DYNAALIGN_NW_BAND / DYNAALIGN_NW_I16 as usual
 
+DYNAALIGN_NW_DEBUG (stage ablation: "noscore" | "nostat") is read HERE
+and passed as an explicit `debug=` argument — it is part of the jit
+cache key, so flipping it between calls is safe, but results under any
+non-empty value are intentionally WRONG (oracle check auto-skipped).
+Production drivers never set it.
+
 Usage: python tools/probe_kernel.py [B] [LEN] [--no-oracle]
 """
 
@@ -25,7 +31,8 @@ import numpy as np
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 566
-CHECK_ORACLE = "--no-oracle" not in sys.argv
+DEBUG = os.environ.get("DYNAALIGN_NW_DEBUG", "")
+CHECK_ORACLE = "--no-oracle" not in sys.argv and not DEBUG
 
 
 def main():
@@ -52,7 +59,8 @@ def main():
     print(
         f"B={B} LEN={LEN} mp1={pad_to + 1} i16={i16} "
         f"classes={os.environ.get('DYNAALIGN_NW_BAND_CLASSES', '6')} "
-        f"nd={os.environ.get('DYNAALIGN_NW_DIAGS', '2')}",
+        f"nd={os.environ.get('DYNAALIGN_NW_DIAGS', '2')} "
+        f"debug={DEBUG or '-'}",
         flush=True,
     )
 
@@ -65,7 +73,8 @@ def main():
         for _ in range(k):
             outs.append(
                 nw_similarity_batch_pallas(
-                    a_idx, a_len, b_idx, b_len, sub, score_i16=i16
+                    a_idx, a_len, b_idx, b_len, sub, score_i16=i16,
+                    debug=DEBUG,
                 )
             )
         m = np.asarray(outs[-1].matches)
