@@ -138,8 +138,10 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
 # whose mp1 * B product exceeds this budget are split along the tile
 # axis before launch (see _batch_split) so longer sequences (e.g. the
 # ~880 aa tail of the full h3n2 set) stay on the Pallas path instead of
-# failing to compile.
-_LONG_CELL_BUDGET = 180_000
+# failing to compile.  Round 5: the r5 step body carries one extra
+# int32 scratch plane (Ssh), so the budget is scaled down ~5% from the
+# round-4 180k to keep the same headroom.
+_LONG_CELL_BUDGET = 171_000
 
 
 def _batch_split(mp1: int, bsz: int) -> int:
@@ -179,10 +181,17 @@ def _i16_clamp_free(mp1: int, gap_open: int, gap_ext: int) -> bool:
 
     When this bound does not fit int16 (very long sequences at large
     gap_ext), the clamps stay on — results are identical either way;
-    only garbage-cell arithmetic differs.
+    only garbage-cell arithmetic differs.  The r5 step body stores the
+    gap competitors R/Q (up to gap_open + 2*gap_ext below the old M/Ix
+    values); the extra 3*(gap_open + gap_ext) term covers that offset
+    for either variant.
     """
     return (
-        -int(NEG16) + gap_ext * (mp1 + 2) + gap_open + 70 < 32768
+        -int(NEG16)
+        + gap_ext * (mp1 + 4)
+        + 3 * (gap_open + gap_ext)
+        + 70
+        < 32768
     )
 
 
@@ -266,13 +275,9 @@ def _kernel(
     alen_ref,  # int32 [1, B]
     fd_ref,  # int32 [1, B] — final diagonal (m + n) per pair
     out_ref,  # int32 [1, B] — packed (matches << 13 | length)
-    # scratch: odd set (a) keeps only (best, S); even set (b) keeps the
-    # full (M, Ix, Iy, S); c-plane; capture accumulator
-    best_a, s_a,
-    m_b, ix_b, iy_b, s_b,
-    c_pl,
-    cap,
-    *,
+    # scratch planes (variant-dependent; see _run_kernel), then the
+    # c-plane and the capture accumulator
+    *scratch,
     go: int,
     ge: int,
     shape: tuple,  # (Mp1, B): DP rows on sublanes, pairs on lanes
@@ -281,9 +286,32 @@ def _kernel(
     n_diag: int = 2,
     n_cols: int = 0,  # padded b-side length N (for the band window)
     band_classes: tuple = (),
+    variant: str = "r5",
     debug: str = "",  # measurement-only stage ablation (WRONG results)
 ):
     """``n_diag`` anti-diagonals per grid step.
+
+    **Two step-body variants** (identical results, fuzzed vs the oracle
+    for both — tests/test_nw_pallas.py):
+
+    * ``r4``: state per diagonal = (M, Ix, Iy, S) even / (best, S) odd.
+      Six sublane rolls per diagonal (sh(M), sh(Ix), sh(best), sh(S)
+      twice, c-plane) — the round-4 ablation prices a roll at ~3.5
+      vector-op equivalents, making rolls ~40% of the runtime.
+    * ``r5`` (default): the gap recurrences are evaluated at
+      *production*: each diagonal stores Rsh = sh(max(M - go - ge,
+      Ix - ge)) (pre-rolled) and Q = max(M - go - ge, Iy - ge), so the
+      consumer's ix/iy are plain loads; and sh(S) is rolled ONCE and
+      reused by both its d+1 (U-case) and d+2 (D-case) consumers.
+      Four rolls per diagonal (Rsh, Ssh, bestsh, c-plane) at the cost
+      of one extra int32 scratch plane (Ssh) and one extra load+store
+      per step.  A true skewed storage layout was analysed and rejected:
+      the diagonal recurrence needs both aligned and shifted reads of
+      the same planes, so skew only swaps which operand set rolls (6
+      either way) while making the score-slab row access dynamic; and
+      Mosaic rejects misaligned dynamic sublane offsets outright
+      ("cannot statically prove index is a multiple of 8",
+      tools/probe_misalign.py), so shifted *loads* cannot replace rolls.
 
     With an even number of diagonals per step the parity mapping is
     fixed — set_b always holds the latest even diagonal, set_a the
@@ -335,6 +363,10 @@ def _kernel(
     mp1, bsz = shape
     full_lane = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cap_shape = (1, bsz)
+    if variant == "r5":
+        rsh_b, q_b, s_b, ssh_b, bsh_b, bsh_a, ssh_a, c_pl, cap = scratch
+    else:
+        best_a, s_a, m_b, ix_b, iy_b, s_b, c_pl, cap = scratch
     # i16 is a STORAGE optimization only: the four score planes live in
     # VMEM as int16 (halving the dominant scratch read/write traffic),
     # but every ALU op, compare, and lane-roll runs at int32 — loads
@@ -346,21 +378,36 @@ def _kernel(
     sdt = jnp.int16 if i16 else jnp.int32
     neg = jnp.int32(NEG16) if i16 else NEG
 
-    @pl.when(g == 0)
-    def _init():
-        # even set (= diagonal 0): M=0 at lane 0, sentinels elsewhere
-        m_b[:] = jnp.where(full_lane == 0, 0, neg).astype(sdt)
-        ix_b[:] = jnp.full(shape, neg, sdt)
-        iy_b[:] = jnp.full(shape, neg, sdt)
-        s_b[:] = jnp.zeros(shape, jnp.int32)
-        # odd set (= diagonal -1): never a real ancestor; sentinels
-        best_a[:] = jnp.full(shape, neg, sdt)
-        s_a[:] = jnp.zeros(shape, jnp.int32)
-        c_pl[:] = jnp.zeros(shape, jnp.int32)
-        cap[:] = jnp.zeros(cap_shape, jnp.int32)
-
     def sh(x):  # shifted[i] = x[i-1] (row 0 cyclic garbage, masked later)
         return pltpu.roll(x, 1, 0)
+
+    @pl.when(g == 0)
+    def _init():
+        # diagonal 0: M=0 at lane 0, sentinels elsewhere; Ix/Iy sentinel
+        m0 = jnp.where(full_lane == 0, 0, neg)
+        if variant == "r5":
+            # derive the carried competitor planes from the same init
+            # state through the production formulas (ix0=iy0=neg, so
+            # both competitors collapse to max(M - go - ge, neg))
+            g0 = jnp.maximum(m0 - (go + ge), neg)
+            rsh_b[:] = sh(g0).astype(sdt)
+            q_b[:] = g0.astype(sdt)
+            s_b[:] = jnp.zeros(shape, jnp.int32)
+            ssh_b[:] = jnp.zeros(shape, jnp.int32)
+            bsh_b[:] = sh(m0).astype(sdt)  # best0 = max(M,Ix,Iy)0 = M0
+            # odd set (= diagonal -1): never a real ancestor; sentinels
+            bsh_a[:] = jnp.full(shape, neg, sdt)
+            ssh_a[:] = jnp.zeros(shape, jnp.int32)
+        else:
+            m_b[:] = m0.astype(sdt)
+            ix_b[:] = jnp.full(shape, neg, sdt)
+            iy_b[:] = jnp.full(shape, neg, sdt)
+            s_b[:] = jnp.zeros(shape, jnp.int32)
+            # odd set (= diagonal -1): never a real ancestor; sentinels
+            best_a[:] = jnp.full(shape, neg, sdt)
+            s_a[:] = jnp.zeros(shape, jnp.int32)
+        c_pl[:] = jnp.zeros(shape, jnp.int32)
+        cap[:] = jnp.zeros(cap_shape, jnp.int32)
 
     def step_window(o, width):
         """Run this step's n_diag diagonals on sublane window [o, o+W)."""
@@ -461,32 +508,127 @@ def _kernel(
 
             return m_cell, ix, iy, s_cell, best
 
-        d0 = n_diag * g
-        # loads widen int16-stored planes to the int32 compute width
-        bm = m_b[win].astype(jnp.int32)
-        bix = ix_b[win].astype(jnp.int32)
-        biy = iy_b[win].astype(jnp.int32)
-        # chain n_diag diagonals value-to-value; only the final even
-        # diagonal's full state and the final odd (best, S) touch
-        # scratch.  prev = latest computed diagonal (d0 + t); prev2 =
-        # (best, S) of d0 + t - 1; prev_best = max(M, Ix, Iy) of prev
-        # (two maxes over values already live — never stored)
-        prev = (bm, bix, biy, s_b[win])
-        prev2 = (best_a[win].astype(jnp.int32), s_a[win])
-        prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
-        c_cur = c_pl[win]
-        for t in range(n_diag):
+        def cell_r5(d1, score, match, prev, prev2):
+            """Diagonal update with production-evaluated gap competitors.
+
+            prev = (Rsh, Q, S, Ssh) of d1-1 where Rsh = sh(max(M - go -
+            ge, Ix - ge)) and Q = max(M - go - ge, Iy - ge) — the gap
+            recurrences were evaluated by the producing diagonal, so ix
+            and iy here are plain (masked) reads.  prev2 = (sh(best),
+            sh(S)) of d1-2; the sh(S) roll is produced ONCE per
+            diagonal and consumed at both d1+1 (U case) and d1+2 (D
+            case).  Interior selection/masking order is equivalent to
+            cell() (masks are identity at interior cells; border cells'
+            selections are overridden).
+            """
+            pRsh, pQ, pS, pSsh = prev
+            qBsh, qSsh = prev2
+            border_gap = -go - (d1 - 1) * ge
+            is0 = lane == 0
+            isd = lane == d1
+            ix = jnp.where(isd, border_gap, jnp.where(is0, neg, pRsh))
+            iy = jnp.where(is0, border_gap, jnp.where(isd, neg, pQ))
+            mnew = qBsh + score
+            if i16 and i16_clamp:
+                mnew = jnp.maximum(mnew, neg)
+            mxy = jnp.maximum(ix, iy)
+            d_sel = mnew >= mxy  # priority D > U > L
+            m_cell = jnp.where(
+                is0 | isd, neg, jnp.maximum(mnew, mxy)
+            )
+            if debug == "nostat":
+                s_cell = pS
+            else:
+                # the inner select only matters when d_sel is false, so
+                # its condition is plain ix >= iy (no ~d_sel & needed)
+                s_cell = (
+                    jnp.where(
+                        d_sel,
+                        qSsh + (match << _LN_BITS),
+                        jnp.where(ix >= iy, pSsh, pS),
+                    )
+                    + 1
+                )
+            s_cell = jnp.where(is0 | isd, d1, s_cell)
+            # interior best == m_cell; at borders the max folds the
+            # border gap in — all that d1's successors ever read
+            best = jnp.maximum(m_cell, mxy)
+            mg = m_cell - (go + ge)
+            r = jnp.maximum(mg, ix - ge)
+            q = jnp.maximum(mg, iy - ge)
+            if i16 and i16_clamp:
+                r = jnp.maximum(r, neg)
+                q = jnp.maximum(q, neg)
+
+            if debug != "nocap":
+                row_hit = fd_ref[0] == d1
+
+                @pl.when(jnp.any(row_hit))
+                def _():
+                    hit = row_hit & (alen_ref[0] == lane)
+                    cap[:] += jnp.sum(
+                        jnp.where(hit, s_cell, 0), axis=0,
+                        keepdims=True,
+                    )
+
+            return sh(r), q, s_cell, sh(s_cell), sh(best)
+
+        def advance_score(c_cur, t):
             if debug == "noscore":
                 # ablate the whole scoring block (c-plane roll+insert,
                 # 5-select tree, byte extract) to measure its share
-                score, match = jnp.int32(1), jnp.int32(1)
-            else:
-                # advance the c-plane: row i inherits row i-1's b-char;
-                # the window-top row takes this step's streamed char
-                c_cur = jnp.where(
-                    local0, bstr_ref[0, 0, t, :], sh(c_cur)
-                )
-                score, match = score_diag(c_cur)
+                return c_cur, jnp.int32(1), jnp.int32(1)
+            # advance the c-plane: row i inherits row i-1's b-char;
+            # the window-top row takes this step's streamed char
+            c_new = jnp.where(local0, bstr_ref[0, 0, t, :], sh(c_cur))
+            score, match = score_diag(c_new)
+            return c_new, score, match
+
+        d0 = n_diag * g
+        c_cur = c_pl[win]
+        if variant == "r5":
+            # chain n_diag diagonals value-to-value.  prev = (Rsh, Q,
+            # S, Ssh) of the latest diagonal; prev2 = (bestsh, Ssh) of
+            # the one before; pending = the latest diagonal's (bestsh,
+            # Ssh), consumed as prev2 one diagonal later.
+            prev = (
+                rsh_b[win].astype(jnp.int32),
+                q_b[win].astype(jnp.int32),
+                s_b[win],
+                ssh_b[win],
+            )
+            prev2 = (bsh_a[win].astype(jnp.int32), ssh_a[win])
+            pending = (bsh_b[win].astype(jnp.int32), prev[3])
+            for t in range(n_diag):
+                c_cur, score, match = advance_score(c_cur, t)
+                new = cell_r5(d0 + t + 1, score, match, prev, prev2)
+                prev2 = pending
+                pending = (new[4], new[3])
+                prev = new[:4]
+            c_pl[win] = c_cur
+            rsh_b[win] = prev[0].astype(sdt)
+            q_b[win] = prev[1].astype(sdt)
+            s_b[win] = prev[2]
+            ssh_b[win] = prev[3]
+            bsh_b[win] = pending[0].astype(sdt)
+            bsh_a[win] = prev2[0].astype(sdt)
+            ssh_a[win] = prev2[1]
+            return
+
+        # r4 variant: loads widen int16-stored planes to the int32
+        # compute width; only the final even diagonal's full state and
+        # the final odd (best, S) touch scratch.  prev = latest
+        # computed diagonal (d0 + t); prev2 = (best, S) of d0 + t - 1;
+        # prev_best = max(M, Ix, Iy) of prev (two maxes over values
+        # already live — never stored)
+        bm = m_b[win].astype(jnp.int32)
+        bix = ix_b[win].astype(jnp.int32)
+        biy = iy_b[win].astype(jnp.int32)
+        prev = (bm, bix, biy, s_b[win])
+        prev2 = (best_a[win].astype(jnp.int32), s_a[win])
+        prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
+        for t in range(n_diag):
+            c_cur, score, match = advance_score(c_cur, t)
             new = cell(d0 + t + 1, score, match, prev, prev2)
             prev2 = (prev_best, prev[3])
             prev = new[:4]
@@ -531,7 +673,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "gap_open", "gap_ext", "interpret", "score_i16", "debug"
+        "gap_open", "gap_ext", "interpret", "score_i16", "variant",
+        "debug",
     ),
 )
 def nw_similarity_batch_pallas(
@@ -545,6 +688,7 @@ def nw_similarity_batch_pallas(
     gap_ext: int = 4,
     interpret: bool = False,
     score_i16: bool = False,
+    variant: str = "r5",
     debug: str = "",
 ) -> NWResult:
     """(matches, alignment_length) per pair — Pallas TPU fast path.
@@ -575,7 +719,8 @@ def nw_similarity_batch_pallas(
             sub,
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
-            interpret=interpret, score_i16=score_i16, debug=debug,
+            interpret=interpret, score_i16=score_i16,
+            variant=variant, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(bsz),
@@ -593,7 +738,7 @@ def nw_similarity_batch_pallas(
     out = _run_kernel(
         slab[None], bstream[None], alen, fd, (mp1, bsz), d_pad,
         gap_open, gap_ext, interpret, score_i16, nd, n,
-        _band_enabled(mp1), debug,
+        _band_enabled(mp1), variant, debug,
     )
     packed = out[0, 0, :]
     return NWResult(
@@ -609,11 +754,18 @@ def _band_classes(mp1: int, n_classes: int | None = None) -> tuple:
     classes execute a tighter band (the mean executed width over a full
     sweep is ~mean(W) vs a true band mean of ~mp1/2) at the cost of
     compile time, which scales with the class count;
-    DYNAALIGN_NW_BAND_CLASSES overrides the default of 6.
+    DYNAALIGN_NW_BAND_CLASSES overrides the default of 10.
+
+    Round-5 class-count sweep at mp1=568 (same window, bit-exact at
+    every point): 6 -> 2.59 ms/call, 8 -> 2.54, 10 -> 2.49, then a
+    Mosaic schedule CLIFF: 11 -> 14.9, 12 -> 16.6, 16 -> 20.3 ms (6-8x
+    worse — past ~10 pl.when step bodies the scheduler collapses).  10
+    is the measured optimum; do not raise it without re-probing
+    (tools/probe_kernel.py).
     """
     if n_classes is None:
         n_classes = int(
-            os.environ.get("DYNAALIGN_NW_BAND_CLASSES", "6")
+            os.environ.get("DYNAALIGN_NW_BAND_CLASSES", "10")
         )
     widths = []
     for c in range(1, n_classes):
@@ -638,7 +790,8 @@ def _band_enabled(mp1: int) -> bool:
 
 def _run_kernel(
     slab, bstream, alen, fd, shape, d_total, gap_open, gap_ext,
-    interpret, i16=False, n_diag=2, n_cols=0, band=False, debug="",
+    interpret, i16=False, n_diag=2, n_cols=0, band=False,
+    variant="r5", debug="",
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
@@ -672,7 +825,7 @@ def _run_kernel(
         i16_clamp=not _i16_clamp_free(mp1, gap_open, gap_ext),
         n_diag=n_diag, n_cols=n_cols,
         band_classes=band_classes,
-        debug=debug,
+        variant=variant, debug=debug,
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
@@ -711,16 +864,30 @@ def _run_kernel(
         ],
         out_specs=vec(),
         out_shape=jax.ShapeDtypeStruct((t_tiles,) + vshape, jnp.int32),
-        scratch_shapes=[
-            score_plane(),  # best_a
-            stat_plane(),  # s_a
-            score_plane(),  # m_b
-            score_plane(),  # ix_b
-            score_plane(),  # iy_b
-            stat_plane(),  # s_b
-            stat_plane(),  # c_pl
-            pltpu.VMEM(vshape, jnp.int32),  # cap
-        ],
+        scratch_shapes=(
+            [
+                score_plane(),  # rsh_b
+                score_plane(),  # q_b
+                stat_plane(),  # s_b
+                stat_plane(),  # ssh_b
+                score_plane(),  # bsh_b
+                score_plane(),  # bsh_a
+                stat_plane(),  # ssh_a
+                stat_plane(),  # c_pl
+                pltpu.VMEM(vshape, jnp.int32),  # cap
+            ]
+            if variant == "r5"
+            else [
+                score_plane(),  # best_a
+                stat_plane(),  # s_a
+                score_plane(),  # m_b
+                score_plane(),  # ix_b
+                score_plane(),  # iy_b
+                stat_plane(),  # s_b
+                stat_plane(),  # c_pl
+                pltpu.VMEM(vshape, jnp.int32),  # cap
+            ]
+        ),
         interpret=interpret,
     )(
         slab,
@@ -735,7 +902,7 @@ def _run_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "gap_open", "gap_ext", "interpret",
-                     "score_i16", "min_split", "debug"),
+                     "score_i16", "min_split", "variant", "debug"),
 )
 def nw_similarity_tiles_pallas(
     a_idx: jnp.ndarray,  # int32 [T, B, M]
@@ -750,6 +917,7 @@ def nw_similarity_tiles_pallas(
     interpret: bool = False,
     score_i16: bool = False,
     min_split: int = 1,
+    variant: str = "r5",
     debug: str = "",
 ) -> NWResult:
     """T independent pair tiles swept in ONE kernel launch.
@@ -788,7 +956,8 @@ def nw_similarity_tiles_pallas(
             sub,
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
-            interpret=interpret, score_i16=score_i16, debug=debug,
+            interpret=interpret, score_i16=score_i16,
+            variant=variant, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(t_tiles, bsz),
@@ -810,7 +979,8 @@ def nw_similarity_tiles_pallas(
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
         slab, bstream, alen, fd, (mp1, bsz), d_pad, gap_open, gap_ext,
-        interpret, score_i16, nd, n, _band_enabled(mp1), debug,
+        interpret, score_i16, nd, n, _band_enabled(mp1), variant,
+        debug,
     )
     packed = out[:, 0, :]  # [T, B]
     return NWResult(

@@ -12,7 +12,8 @@ from dynaalign_tpu.ops.nw_pallas import (
 )
 
 
-def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None, kernel=None):
+def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None, kernel=None,
+         **kw):
     a_seqs = [p[0] for p in pairs]
     b_seqs = [p[1] for p in pairs]
     ea = encode.encode(a_seqs, pad_to=pad_to)
@@ -21,7 +22,7 @@ def _run(pairs, matrix="BLOSUM62", go=10, ge=4, pad_to=None, kernel=None):
     res = (kernel or nw_similarity_batch_pallas)(
         jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
         jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
-        sub, gap_open=go, gap_ext=ge, interpret=True,
+        sub, gap_open=go, gap_ext=ge, interpret=True, **kw,
     )
     return res.similarity()
 
@@ -36,6 +37,21 @@ def test_pallas_bit_exact_random(make_seqs):
     seqs = make_seqs(40, 1, 60, alphabet=encode.ALPHABET)
     pairs = list(zip(seqs[:20], seqs[20:]))
     np.testing.assert_array_equal(_run(pairs), _oracle(pairs))
+
+
+@pytest.mark.parametrize("variant", ["r4", "r5"])
+@pytest.mark.parametrize("i16", [False, True])
+def test_pallas_step_variants_bit_exact(variant, i16, make_seqs):
+    """Both step bodies (round-4 and the round-5 roll-lean restructure)
+    are bit-exact vs the oracle, with and without i16 storage, on a
+    band-limited shape (pad_to 295 -> mp1 296 >= 256 turns the band
+    window on)."""
+    seqs = make_seqs(16, 200, 290, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:8], seqs[8:]))
+    np.testing.assert_array_equal(
+        _run(pairs, pad_to=295, variant=variant, score_i16=i16),
+        _oracle(pairs),
+    )
 
 
 @pytest.mark.parametrize("gaps", [(5, 1), (12, 2)])

@@ -32,6 +32,7 @@ import numpy as np
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 566
 DEBUG = os.environ.get("DYNAALIGN_NW_DEBUG", "")
+VARIANT = os.environ.get("DYNAALIGN_NW_VARIANT", "r5")
 CHECK_ORACLE = "--no-oracle" not in sys.argv and not DEBUG
 
 
@@ -60,7 +61,7 @@ def main():
         f"B={B} LEN={LEN} mp1={pad_to + 1} i16={i16} "
         f"classes={os.environ.get('DYNAALIGN_NW_BAND_CLASSES', '6')} "
         f"nd={os.environ.get('DYNAALIGN_NW_DIAGS', '2')} "
-        f"debug={DEBUG or '-'}",
+        f"variant={VARIANT} debug={DEBUG or '-'}",
         flush=True,
     )
 
@@ -74,7 +75,7 @@ def main():
             outs.append(
                 nw_similarity_batch_pallas(
                     a_idx, a_len, b_idx, b_len, sub, score_i16=i16,
-                    debug=DEBUG,
+                    variant=VARIANT, debug=DEBUG,
                 )
             )
         m = np.asarray(outs[-1].matches)
