@@ -11,6 +11,8 @@ the same shape as the repo-root ``bench.py`` headline metric:
   5. scaling         — sharded all-pairs scaling efficiency over mesh
                        sizes (virtual CPU devices unless on a real slice)
   6. topk_large      — 100k-scale sparse top-k clustering (config 5)
+  7. hybrid_large    — 65k-scale sparse hybrid: exact NW edge rescoring
+                       (round-5; composes configs 4 and 5)
 
 Usage:
   python benchmarks/run_benchmarks.py --bench mh_quickstart
@@ -323,6 +325,50 @@ def bench_topk_large(args) -> None:
     })
 
 
+def bench_hybrid_large(args) -> None:
+    """Round-5 sparse hybrid: exact-rescored clustering at 65k+ scale.
+
+    allunique (65,339 real 12-mer peptides) through the sparse hybrid
+    path — MH top-k prefilter, exact NW rescoring of the surviving
+    edges (no dense [N, N] anywhere), Louvain on exact percent-identity
+    weights (models.cluster_large_exact).  The dense hybrid (config 4)
+    cannot reach this scale: its full-triangle quantile alone would
+    need a 34 GB float64 matrix at N = 65,339."""
+    from dynaalign_tpu.io.datasets import load_sequences
+    from dynaalign_tpu.models import cluster_large_exact
+
+    seqs = list(load_sequences("allunique"))
+    if args.large_n:
+        seqs = seqs[: args.large_n]
+    n = len(seqs)
+    _warm_device()
+    stage_s: dict = {}
+    t0 = time.perf_counter()
+    membership = cluster_large_exact(
+        seqs, k=4, n_hash=50, seed=0, top_k=32, thresh_p=0.8,
+        timings=stage_s,
+    )
+    dt = time.perf_counter() - t0
+    n_clusters = int(len(np.unique(membership)))
+    n_edges = int(stage_s.get("n_edges", 0))
+    resc = stage_s.get("rescore", 0.0)
+    _emit({
+        "metric": "hybrid_large_seqs_per_sec",
+        "value": round(n / dt, 1),
+        "unit": "seqs/s",
+        "vs_baseline": None,  # the reference cannot run this scale
+        "n_seqs": n,
+        "n_clusters": n_clusters,
+        "n_edges_rescored": n_edges,
+        "edges_rescored_per_sec": round(n_edges / resc, 1)
+        if resc
+        else None,
+        "total_seconds": round(dt, 1),
+        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()
+                          if k != "n_edges"},
+    })
+
+
 def bench_mh_full(args) -> None:
     """Full-dataset MinHash wall-clock (the reference's only large-scale
     harness: system.time(similarityMH(s)) on all of h3n2ha1415,
@@ -426,6 +472,7 @@ BENCHES = {
     "hybrid_panels": bench_hybrid_panels,
     "scaling": bench_scaling,
     "topk_large": bench_topk_large,
+    "hybrid_large": bench_hybrid_large,
 }
 
 

@@ -44,8 +44,10 @@ from .analysis import (  # noqa: F401,E402
 )
 from .models import (  # noqa: F401,E402
     Pipeline,
+    cluster_large_exact,
     minhash,
     shingle,
     similarity_hybrid,
+    similarity_hybrid_sparse,
 )
 from .ops.topk_graph import cluster_large  # noqa: F401,E402

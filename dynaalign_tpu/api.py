@@ -43,7 +43,12 @@ PALLAS_BUCKET_EDGES = (
 # into VMEM: Mosaic measured 17.48 MB of stack at (mp1=17, B=8192)
 # against the 16 MB limit on the hybrid rescore path.  96k cells keeps
 # the same shape at ~13.1 MB with headroom for temporaries.
-_SHORT_CELL_BUDGET = 98304
+# Round-5: 80k (was 98,304).  The r5 step body's extra int32 scratch
+# plane plus relay-pool variance made the old budget overflow on some
+# terminals: at 104,448 cells one terminal measured 18.88 MB of Mosaic
+# stack against the 16 MB limit (~181 stack-bytes/cell), so the budget
+# now targets ~14.5 MB on that worst-case accounting.
+_SHORT_CELL_BUDGET = 80_000
 
 
 def _short_batch(mp1: int, lo: int = 256, hi: int = 8192) -> int:

@@ -63,7 +63,15 @@ def nw_rescore_pairs(
     else:
         pad_to = None
         backend = "scan"
-    enc = encode(sequences, pad_to=pad_to, pad_multiple=8)
+    # pad_multiple only applies to the scan fallback: passing it
+    # together with an explicit pad_to would round pad_to itself up to
+    # a multiple of 8 (encode.py:100-103), silently breaking the
+    # (m+1) % 8 == 0 Pallas padding (mp1 17 instead of 16 for 12-mers)
+    # and overrunning the batch sizer's VMEM budget by one DP row
+    if pad_to is not None:
+        enc = encode(sequences, pad_to=pad_to)
+    else:
+        enc = encode(sequences, pad_multiple=8)
     seq_idx = jnp.asarray(enc.indices)
     lengths = jnp.asarray(enc.lengths)
     sub = jnp.asarray(blosum.get_matrix(matrix_name))
@@ -112,21 +120,28 @@ def similarity_hybrid(
     n_hash: int = 50,
     seed: int = 0,
     prefilter_quantile: float = 0.8,
+    prefilter_threshold: float | None = None,
     matrix_name: str = "BLOSUM62",
     gap_open: int = 10,
     gap_ext: int = 4,
 ) -> np.ndarray:
     """MH prefilter + exact NW rescoring of the surviving pairs.
 
-    Pairs below the MH quantile threshold keep similarity 0; the rest are
-    replaced with exact NW percent identity.  Diagonal is 1.0.
+    Pairs below the MH threshold keep similarity 0; the rest are
+    replaced with exact NW percent identity.  Diagonal is 1.0.  The
+    threshold is the ``prefilter_quantile`` of all off-diagonal MH
+    values, or ``prefilter_threshold`` verbatim when given (the knob
+    the sparse path shares — see :func:`similarity_hybrid_sparse`).
     """
     sequences = list(sequences)
     n = len(sequences)
     mh = similarity_mh(sequences, k=k, n_hash=n_hash, seed=seed)
     iu = np.triu_indices(n, k=1)
     vals = mh[iu]
-    t = np.quantile(vals, prefilter_quantile) if vals.size else 0.0
+    if prefilter_threshold is not None:
+        t = prefilter_threshold
+    else:
+        t = np.quantile(vals, prefilter_quantile) if vals.size else 0.0
     keep = vals >= t
     pi, pj = iu[0][keep], iu[1][keep]
     out = np.zeros((n, n), dtype=np.float64)
@@ -139,6 +154,186 @@ def similarity_hybrid(
         out[pj, pi] = sims
     np.fill_diagonal(out, 1.0)
     return out
+
+
+def hybrid_topk_edges(
+    sequences: Sequence[str],
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    top_k: int = 64,
+    prefilter_quantile: float = 0.8,
+    prefilter_threshold: float | None = None,
+    chunk: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MH top-k prefilter edge list for the sparse hybrid path.
+
+    Builds seeded MinHash signatures, reduces each row to its ``top_k``
+    strongest neighbors on device (ops.topk_graph.minhash_topk — never
+    materializing the dense [N, N] matrix), dedups to unique i < j
+    edges, and keeps edges at/above the MH threshold.  The threshold is
+    ``prefilter_threshold`` verbatim when given; otherwise the
+    ``prefilter_quantile`` of the observed positive edge weights (with
+    top_k < N-1 this population is biased toward strong edges relative
+    to the dense path's all-pairs quantile — the inherent price of
+    never scoring the sub-top-k mass; pass an absolute threshold for
+    exact dense-path agreement).
+
+    Returns (pair_i, pair_j, mh_weight) with pair_i < pair_j.
+    """
+    from ..ops.minhash import minhash_signatures
+    from ..ops.topk_graph import minhash_topk
+
+    seqs = list(sequences)
+    n = len(seqs)
+    enc = encode(seqs)
+    sigs = minhash_signatures(
+        enc.ascii, enc.lengths, k=k, n_hash=n_hash, seed=seed,
+        chunk=chunk,
+    )
+    vals, idx = minhash_topk(np.asarray(sigs), k=top_k)
+    kk = vals.shape[1]
+    rows = np.repeat(np.arange(n, dtype=np.int64), kk)
+    cols = idx.ravel().astype(np.int64)
+    w = vals.ravel()
+    keep = (w > 0) & (rows != cols)
+    rows, cols, w = rows[keep], cols[keep], w[keep]
+    lo = np.minimum(rows, cols)
+    hi = np.maximum(rows, cols)
+    key = lo * n + hi
+    _, first = np.unique(key, return_index=True)
+    lo, hi, w = lo[first], hi[first], w[first]
+    if prefilter_threshold is not None:
+        t = prefilter_threshold
+    else:
+        t = float(np.quantile(w, prefilter_quantile)) if w.size else 0.0
+    sel = w >= t
+    return (
+        lo[sel].astype(np.int32),
+        hi[sel].astype(np.int32),
+        w[sel],
+    )
+
+
+def similarity_hybrid_sparse(
+    sequences: Sequence[str],
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    top_k: int = 64,
+    prefilter_quantile: float = 0.8,
+    prefilter_threshold: float | None = None,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    chunk: int | None = None,
+    timings: dict | None = None,
+):
+    """Sparse hybrid similarity: MH top-k prefilter + exact NW edge
+    rescoring, without ever materializing a dense [N, N] matrix.
+
+    The dense :func:`similarity_hybrid` (BASELINE config 4) quantiles
+    the full upper triangle — ~80 GB of float64 at N = 100k.  This path
+    composes the device-side top-k graph (the config-5 machinery) with
+    ``nw_rescore_pairs``, so the exact-NW flagship flow reaches the
+    scale the reference could never touch (/root/reference/src/
+    minHash.cpp:160-178 is dense-only; R/clusterbreak.R:185 is the
+    hybrid composition point).  With ``top_k >= N-1`` and an absolute
+    ``prefilter_threshold``, the result equals the dense path exactly
+    (tests/test_hybrid_sparse.py).
+
+    Returns a scipy.sparse CSR [N, N] with exact NW percent identity on
+    the kept edges (symmetric) and a unit diagonal.
+
+    Pass a dict as ``timings`` for per-stage seconds (keys: ``edges``
+    = signatures+topk+threshold, ``rescore``; plus ``n_edges``).
+    """
+    import time
+
+    from scipy import sparse
+
+    seqs = list(sequences)
+    n = len(seqs)
+    t0 = time.perf_counter()
+    pi, pj, _ = hybrid_topk_edges(
+        seqs, k=k, n_hash=n_hash, seed=seed, top_k=top_k,
+        prefilter_quantile=prefilter_quantile,
+        prefilter_threshold=prefilter_threshold, chunk=chunk,
+    )
+    t1 = time.perf_counter()
+    if len(pi):
+        sims = nw_rescore_pairs(
+            seqs, pi, pj, matrix_name=matrix_name,
+            gap_open=gap_open, gap_ext=gap_ext,
+        )
+    else:
+        sims = np.zeros(0, dtype=np.float64)
+    t2 = time.perf_counter()
+    if timings is not None:
+        timings.update(
+            edges=t1 - t0, rescore=t2 - t1, n_edges=int(len(pi))
+        )
+    adj = sparse.coo_matrix(
+        (
+            np.concatenate([sims, sims, np.ones(n)]),
+            (
+                np.concatenate([pi, pj, np.arange(n)]),
+                np.concatenate([pj, pi, np.arange(n)]),
+            ),
+        ),
+        shape=(n, n),
+    ).tocsr()
+    return adj
+
+
+def cluster_large_exact(
+    sequences,
+    *,
+    k: int = 4,
+    n_hash: int = 50,
+    seed: int = 0,
+    top_k: int = 64,
+    thresh_p: float = 0.8,
+    prefilter_threshold: float | None = None,
+    matrix_name: str = "BLOSUM62",
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    resolution: float = 1.05,
+    louvain_seed: int = 0,
+    chunk: int | None = None,
+    timings: dict | None = None,
+) -> np.ndarray:
+    """Large-N clustering on EXACT NW edge weights: MH top-k prefilter →
+    NW rescoring of the surviving edges → Louvain.
+
+    The exact-rescored sibling of ops.topk_graph.cluster_large: same
+    sparse scaling (no dense matrix anywhere), but the graph Louvain
+    sees carries exact percent-identity weights instead of Jaccard
+    estimates.  Returns a 1-based membership vector.
+
+    Pass a dict as ``timings`` for per-stage seconds (``edges``,
+    ``rescore``, ``louvain``; plus ``n_edges``).
+    """
+    import time
+
+    from ..cluster.louvain import louvain
+
+    adj = similarity_hybrid_sparse(
+        sequences, k=k, n_hash=n_hash, seed=seed, top_k=top_k,
+        prefilter_quantile=thresh_p,
+        prefilter_threshold=prefilter_threshold,
+        matrix_name=matrix_name, gap_open=gap_open, gap_ext=gap_ext,
+        chunk=chunk, timings=timings,
+    )
+    t0 = time.perf_counter()
+    membership = louvain(
+        adj, resolution=resolution, seed=louvain_seed
+    ).membership + 1
+    if timings is not None:
+        timings["louvain"] = time.perf_counter() - t0
+    return membership
 
 
 @dataclasses.dataclass
