@@ -121,7 +121,7 @@ def bench_nw_h3n2(args) -> None:
 
 
 def bench_clusterbreak(args) -> None:
-    from dynaalign_tpu import similarity_mh
+    from dynaalign_tpu import MinHashEngine
     from dynaalign_tpu.cluster import clusterbreak
     from dynaalign_tpu.consensus import cluster_consensus
     from dynaalign_tpu.io.datasets import load_sequences
@@ -135,9 +135,14 @@ def bench_clusterbreak(args) -> None:
         # the reference would (R/clusterbreak.R:180-275).
         seqs = list(dict.fromkeys(seqs))
     t0 = time.perf_counter()
+    # the signature-caching engine is bit-identical to per-subset
+    # similarity_mh calls (round-5; tests/test_cluster.py) — the
+    # engine build inside the timed region pays the one-time
+    # signature chain, each recursion subset then costs a single
+    # agreement dispatch
     result = clusterbreak(
         seqs, thresh_p=0.8, size_max=800, size_min=3,
-        sim_fn=lambda x: similarity_mh(x, k=4, n_hash=500, seed=0),
+        sim_fn=MinHashEngine(seqs, k=4, n_hash=500, seed=0),
         verbose=False,
     )
     cluster_dt = time.perf_counter() - t0

@@ -21,6 +21,7 @@ from .encode import EncodedSeqs, encode as encode_sequences  # noqa: F401
 __version__ = "0.1.0"
 
 from .api import (  # noqa: F401,E402
+    MinHashEngine,
     similarity_mh,
     similarity_nw,
     similarity_nw_bucketed,

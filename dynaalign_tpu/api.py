@@ -163,6 +163,102 @@ def similarity_mh(
     return signature_similarity(sigs, block=block)
 
 
+class MinHashEngine:
+    """Signature-caching MinHash similarity engine for recursive drivers.
+
+    ``similarity_mh`` rebuilds per-sequence signatures on every call, so
+    a recursive driver like :func:`dynaalign_tpu.cluster.clusterbreak`
+    pays the whole signature dispatch chain once per recursion subset —
+    the measured round-4 bottleneck (160 seqs/s from an engine doing
+    7.7M MH pairs/s).  A sequence's signature depends only on
+    (sequence, k, n_hash, seed) — NOT on which batch it is computed in
+    (src/minHash.cpp:143-157 is per-sequence) — so this engine builds
+    signatures ONCE for the full set and serves any subset's similarity
+    matrix from the cached rows with a single agreement dispatch.
+    Bit-identical to ``similarity_mh`` on the same subset
+    (tests/test_cluster.py).
+
+    Duplicate sequences share one signature row (same string -> same
+    signature, exactly as recomputation would give).  Calling it with a
+    sequence outside the constructor set raises KeyError.
+
+    Usage: ``clusterbreak(pep, sim_fn=MinHashEngine(pep, k=2))`` — or
+    just leave ``sim_fn=None``; clusterbreak builds one automatically.
+    """
+
+    def __init__(
+        self,
+        sequences: Sequence[str],
+        k: int = 4,
+        n_hash: int = 50,
+        *,
+        seed: int = 0,
+        chunk: int | None = None,
+        block: int = 256,
+        cache_counts: bool | None = None,
+    ):
+        if len(sequences) == 0:
+            raise ValueError("Input sequences vector cannot be empty")
+        if k <= 0:
+            raise ValueError("'k' must be a positive integer")
+        if n_hash <= 0:
+            raise ValueError("Number of hash functions must be positive")
+        enc = encode(sequences, validate=False)
+        sigs = minhash_signatures(
+            enc.ascii, enc.lengths, k=k, n_hash=n_hash, seed=seed,
+            chunk=chunk,
+        )
+        self._sigs = np.asarray(sigs)
+        self._index: dict[str, int] = {}
+        for i, s in enumerate(sequences):
+            self._index.setdefault(str(s), i)
+        self.k = k
+        self.n_hash = n_hash
+        self.seed = seed
+        self._block = block
+        # full-matrix count cache: clusterbreak's recursion subsets are
+        # all subsets of ONE set, so every subset similarity is a slice
+        # of the full [N, N] agreement counts — computed on device once
+        # and fetched as int16 (counts <= n_hash <= 32767; the relay
+        # fetch, not the compare kernel, dominates agreement time, and
+        # int16 halves it).  Auto-on up to 16,384 rows (512 MB int16).
+        if cache_counts is None:
+            cache_counts = len(self._sigs) <= 16384
+        self._cache_counts = cache_counts
+        self._counts: np.ndarray | None = None
+
+    def _full_counts(self) -> np.ndarray:
+        if self._counts is None:
+            from .ops.minhash import signature_agreement_counts
+
+            dev = signature_agreement_counts(
+                jnp.asarray(self._sigs), block=self._block
+            )
+            self._counts = np.asarray(dev.astype(jnp.int16))
+        return self._counts
+
+    def __call__(self, subset: Sequence[str]) -> np.ndarray:
+        if len(subset) == 0:
+            raise ValueError("Input sequences vector cannot be empty")
+        try:
+            rows = np.array(
+                [self._index[str(s)] for s in subset], dtype=np.int64
+            )
+        except KeyError as e:
+            raise KeyError(
+                f"sequence {e.args[0]!r} not in this MinHashEngine's "
+                "signature set"
+            ) from None
+        if self._cache_counts:
+            c = self._full_counts()[np.ix_(rows, rows)]
+            sims = c.astype(np.float64) / float(self.n_hash)
+            np.fill_diagonal(sims, 1.0)
+            return sims
+        return signature_similarity(
+            self._sigs[rows], block=self._block
+        )
+
+
 @functools.lru_cache(maxsize=64)
 def _nw_tile_fn(
     tile_i: int, tile_j: int, backend: str, gap_open: int, gap_ext: int

@@ -187,9 +187,14 @@ def clusterbreak(
         raise ValueError("empty input sequence vector")
 
     if sim_fn is None:
-        from ..api import similarity_mh
+        # signature-caching engine: signatures are built ONCE for the
+        # full set and each recursion subset costs a single agreement
+        # dispatch — bit-identical to calling similarity_mh per subset
+        # (a signature depends only on (sequence, k, n_hash, seed)),
+        # but ~an order of magnitude less relay traffic on deep runs
+        from ..api import MinHashEngine
 
-        sim_fn = lambda x: similarity_mh(x, k=2, n_hash=50, seed=seed)  # noqa: E731
+        sim_fn = MinHashEngine(pep, k=2, n_hash=50, seed=seed)
 
     state = {
         "rows": [],  # list of (sequence, label)
@@ -223,9 +228,15 @@ def clusterbreak(
             state["stack"].clear()
             break
 
+        # NOTE sim_fn contract: the returned matrix is consumed (the
+        # sub-threshold entries are zeroed in place when writable) —
+        # return a fresh array, as every in-package sim_fn does.  The
+        # old unconditional .copy() cost 525 MB per call at full-set
+        # scale for nothing.
         sim = np.asarray(sim_fn(sub), dtype=np.float64)
         t = quantile_threshold(sim, thresh_p)
-        sim = sim.copy()
+        if not sim.flags.writeable:
+            sim = sim.copy()
         sim[sim < t] = 0.0
         c_index = netcluster(
             sim, cluster_func=cluster_fn, resolution=resolution, seed=seed

@@ -19,10 +19,17 @@ def quantile_threshold(
     """Quantile of the strict upper triangle (R ``quantile`` type-7 default,
     matching R/clusterbreak.R:219's ``quantile(sim[upper.tri(sim)], p)``)."""
     n = sim.shape[0]
-    iu = np.triu_indices(n, k=1)
-    vals = sim[iu]
-    if vals.size == 0:
+    if n < 2:
         return 0.0
+    # row-slice extraction in triu_indices order: identical values,
+    # but without materializing two [n(n-1)/2] int64 index arrays
+    # (525 MB of pure index overhead at n=8103)
+    vals = np.empty(n * (n - 1) // 2, dtype=np.asarray(sim).dtype)
+    o = 0
+    for i in range(n - 1):
+        m = n - 1 - i
+        vals[o : o + m] = sim[i, i + 1 :]
+        o += m
     return float(np.quantile(vals, thresh_p))  # 'linear' == R type 7
 
 
@@ -48,6 +55,15 @@ def adjacency_from_matrix(
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError("Input must be a square pairwise similarity matrix")
     if mode == "upper":
+        # exact-symmetry fast path: mirroring the upper triangle of a
+        # symmetric matrix reproduces the matrix itself — skip the
+        # three full-size temporaries (2 triu + transpose-add), which
+        # at 8k scale are ~1.5 GB of traffic.  The equality check is
+        # one fused pass and only pays off at scale.
+        if keep_diag and mat.shape[0] > 2048 and np.array_equal(
+            mat, mat.T
+        ):
+            return sparse.csr_matrix(mat)
         up = np.triu(mat, k=0 if keep_diag else 1)
         sym = up + np.triu(mat, k=1).T
     elif mode == "undirected":

@@ -282,3 +282,40 @@ def test_louvain_native_pass_bit_identical_to_numpy(monkeypatch):
             monkeypatch.delenv("DYNAALIGN_LOUVAIN_NATIVE")
             np.testing.assert_array_equal(got.membership, want.membership)
             assert got.modularity == want.modularity
+
+
+def test_minhash_engine_bit_identical_and_clusterbreak_default():
+    """The signature-caching MinHashEngine serves any subset's similarity
+    bit-identically to a fresh similarity_mh call on that subset (a
+    signature depends only on (sequence, k, n_hash, seed)), and
+    clusterbreak's engine-backed default produces byte-identical output
+    to per-subset similarity_mh calls."""
+    from dynaalign_tpu import MinHashEngine, clusterbreak, similarity_mh
+
+    rng = np.random.default_rng(3)
+    aas = list("ARNDCQEGHILKMFPSTWYV")
+    motifs = ["".join(rng.choice(aas, size=12)) for _ in range(12)]
+    seqs = []
+    for m in motifs:
+        for _ in range(8):
+            s = list(m)
+            s[rng.integers(12)] = rng.choice(aas)
+            seqs.append("".join(s))
+    seqs.append(seqs[0])  # duplicate row shares a signature
+
+    eng = MinHashEngine(seqs, k=2, n_hash=50, seed=0)
+    for sub in (seqs, seqs[:7], [seqs[90], seqs[3], seqs[3]]):
+        np.testing.assert_array_equal(
+            eng(sub), similarity_mh(sub, k=2, n_hash=50, seed=0)
+        )
+    with pytest.raises(KeyError):
+        eng(["WWWWWWWWWWWW"])
+
+    got = clusterbreak(seqs, size_max=20, size_min=2, verbose=False)
+    want = clusterbreak(
+        seqs, size_max=20, size_min=2, verbose=False,
+        sim_fn=lambda x: similarity_mh(x, k=2, n_hash=50, seed=0),
+    )
+    np.testing.assert_array_equal(got.clustered_seq, want.clustered_seq)
+    assert got.filtered_seq == want.filtered_seq
+    assert got.n_calls == want.n_calls
