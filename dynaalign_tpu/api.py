@@ -24,6 +24,7 @@ import numpy as np
 from . import blosum
 from .encode import bucket_by_length, encode
 from .ops import (
+    PALLAS_MAX_MP1,
     nw_batch,
     nw_batch_tiled,
     nw_i16_ok,
@@ -512,7 +513,7 @@ def similarity_nw(
             min(64, int(np.sqrt(_short_batch(pad_to + 1))) // 16 * 16),
         )
         backend = "pallas_short"
-    elif tpu_available() and max_len <= 4000:
+    elif tpu_available() and max_len < PALLAS_MAX_MP1 - 8:
         # long fast path: pairs on lanes, sublane-aligned DP rows —
         # (padded_len+1) % 8 wastes far less grid than the old % 128
         pad_to = -(-(max_len + 1) // 8) * 8 - 1
@@ -520,6 +521,9 @@ def similarity_nw(
         t = tile or 16  # 256 pairs/call fills the kernel's VMEM budget
         backend = "pallas"
     else:
+        # multi-kilobase sequences route through pick_nw_backend, which
+        # selects the transposed xl Pallas layout up to padded m+n <
+        # 32768 / mp1 <= XL_MAX_MP1 (round 5) and scan beyond
         enc = encode(sequences, pad_multiple=8)
         t = tile or _pick_tile(n, enc.max_len)
         backend = pick_nw_backend(enc.max_len, enc.max_len)

@@ -50,19 +50,23 @@ def nw_rescore_pairs(
     """
     from ..api import _nw_pairlist_stack_fn, _short_batch, _tiles_per_launch
 
+    from ..ops import PALLAS_MAX_MP1
+
     max_len = max(len(s) for s in sequences)
     if tpu_available() and max_len <= 127:
         pad_to = -(-(max_len + 1) // 8) * 8 - 1
         backend = "pallas_short"
         batch = _short_batch(pad_to + 1)
-    elif tpu_available() and max_len <= 4000:
+    elif tpu_available() and max_len < PALLAS_MAX_MP1 - 8:
         # sublane (8-multiple) padding, matching api.similarity_nw —
         # the old 128-multiple pad cost +13% dead DP area at h3n2 scale
         pad_to = -(-(max_len + 1) // 8) * 8 - 1
         backend = "pallas"
     else:
+        # multi-kilobase: pick_nw_backend selects the xl Pallas layout
+        # (round 5) or scan beyond its ceiling
         pad_to = None
-        backend = "scan"
+        backend = "auto"
     # pad_multiple only applies to the scan fallback: passing it
     # together with an explicit pad_to would round pad_to itself up to
     # a multiple of 8 (encode.py:100-103), silently breaking the
@@ -72,6 +76,10 @@ def nw_rescore_pairs(
         enc = encode(sequences, pad_to=pad_to)
     else:
         enc = encode(sequences, pad_multiple=8)
+    if backend == "auto":
+        from ..ops import pick_nw_backend
+
+        backend = pick_nw_backend(enc.max_len, enc.max_len)
     seq_idx = jnp.asarray(enc.indices)
     lengths = jnp.asarray(enc.lengths)
     sub = jnp.asarray(blosum.get_matrix(matrix_name))

@@ -5,9 +5,12 @@ from .minhash import (  # noqa: F401
 )
 from .nw import nw_similarity_batch  # noqa: F401
 from .nw_pallas import (  # noqa: F401
+    PALLAS_MAX_MP1,
+    XL_MAX_MP1,
     nw_i16_ok,
     nw_similarity_batch_pallas,
     nw_similarity_batch_pallas_short,
+    nw_similarity_batch_pallas_xl,
     nw_similarity_tiles_pallas,
 )
 
@@ -37,13 +40,21 @@ def pick_nw_backend(
     """
     if backend != "auto":
         return backend
-    if (
-        tpu_available()
-        and m + n < (1 << 13)
-        and (m + 1) % 8 == 0
-        and (bsz is None or bsz % 128 == 0)
-    ):
-        return "pallas_short" if m <= 127 else "pallas"
+    # round 5: the packed-stats length field auto-widens to 15 bits
+    # (ops.nw_pallas._ln_bits), so a Pallas path serves padded m+n up
+    # to 32767 — multi-kilobase pairs no longer drop to the ~40x-slower
+    # scan backend.  The standard pairs-on-lanes layout carries its
+    # VMEM-resident slab to mp1 = PALLAS_MAX_MP1; past that the
+    # transposed xl layout (pairs on sublanes, self-padding — no
+    # alignment preconditions) takes over to XL_MAX_MP1.
+    if tpu_available() and m + n < (1 << 15):
+        if (m + 1) % 8 == 0 and (bsz is None or bsz % 128 == 0):
+            if m <= 127:
+                return "pallas_short"
+            if m + 1 <= PALLAS_MAX_MP1:
+                return "pallas"
+        if PALLAS_MAX_MP1 < m + 1 <= XL_MAX_MP1:
+            return "pallas_xl"
     return "scan"
 
 
@@ -73,6 +84,12 @@ def nw_batch(
             a_idx, a_len, b_idx, b_len, sub,
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
             score_i16=score_i16,
+        )
+    if chosen == "pallas_xl":
+        # xl layout has no i16 mode (nw_i16_ok fails at these depths)
+        return nw_similarity_batch_pallas_xl(
+            a_idx, a_len, b_idx, b_len, sub,
+            gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
         )
     return nw_similarity_batch(
         a_idx, a_len, b_idx, b_len, sub,
@@ -104,6 +121,19 @@ def nw_batch_tiled(
             gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
             score_i16=score_i16, min_split=min_split,
         )
+    if chosen == "pallas_xl":
+        import jax
+
+        res = jax.lax.map(
+            lambda args: tuple(nw_similarity_batch_pallas_xl(
+                *args, sub, gap_open=gap_open, gap_ext=gap_ext,
+                interpret=interpret,
+            )),
+            (a_idx, a_len, b_idx, b_len),
+        )
+        from .nw import NWResult
+
+        return NWResult(matches=res[0], length=res[1])
     import jax
 
     res = jax.lax.map(

@@ -24,8 +24,11 @@ bit-exact percent identity), engineered for the chip:
   planes stay resident in VMEM scratch.
 
 * **Packed traceback statistics.**  (matches, length) ride in one int32
-  plane as (mt << 13) | ln — one select chain instead of two and 20%
-  less VMEM traffic.  Valid while m + n < 8192.
+  plane as (mt << ln_bits) | ln — one select chain instead of two and
+  20% less VMEM traffic.  The length field is 13 bits below padded
+  m + n = 8192 (byte-identical to rounds 1-4) and auto-widens to 15
+  bits up to 32767 (matches <= min(m, n) < 16384 always fits the
+  remaining bits), so multi-kilobase pairs stay on this kernel.
 
 * **Two-buffer parity rotation, asymmetric state.**  prev/prev2 roles
   alternate between two fixed scratch sets (no buffer copies, no dynamic
@@ -66,6 +69,20 @@ NEG = np.int32(np.iinfo(np.int32).min // 2)
 NEG16 = np.int16(-26000)
 _LN_BITS = 13
 _LN_MASK = (1 << _LN_BITS) - 1
+# wide packing for multi-kilobase pairs (round 5): with a 15-bit length
+# field the packed stats serve padded m+n < 32768, and the matches
+# field always fits — matches <= min(m, n) <= (m+n)/2 < 16384 needs 14
+# bits, and 14 + 15 = 29 < 31.  The narrow 13-bit field stays the
+# default below 8192 (byte-identical to rounds 1-4); past 2^15 the
+# dispatcher falls back to the scan kernel.
+_LN_BITS_WIDE = 15
+
+
+def _ln_bits(d_total: int) -> int:
+    """Packed-stats length-field width for padded m+n = d_total."""
+    return _LN_BITS if d_total < (1 << _LN_BITS) else _LN_BITS_WIDE
+
+
 # packed slab bytes store (2*sub + match) + _BIAS so every byte is
 # unsigned; |2s+1| <= 66 across the six BLOSUM tables, so the biased
 # byte is in [62, 195] and the extract is a shift+mask+subtract with no
@@ -144,14 +161,18 @@ def nw_i16_ok(m: int, n: int, gap_open: int, gap_ext: int, sub) -> bool:
 _LONG_CELL_BUDGET = 171_000
 
 
-def _batch_split(mp1: int, bsz: int) -> int:
+def _batch_split(mp1: int, bsz: int, i16: bool = True) -> int:
     """Smallest power-of-two factor f such that (bsz/f) * mp1 fits the
     scoped VMEM budget (halving stops at odd or single-pair batches).
     The resulting bsz/f may drop below 128 lanes for very long
     sequences (e.g. 64 lanes at mp1=1536) — underutilized lanes beat
-    no kernel at all."""
+    no kernel at all.  Non-i16 configs (multi-kilobase pairs, where
+    nw_i16_ok's overflow bound fails) store the four score planes at
+    int32, ~16% more scratch bytes/cell — the budget scales down
+    accordingly."""
+    budget = _LONG_CELL_BUDGET if i16 else int(_LONG_CELL_BUDGET * 0.84)
     f = 1
-    while bsz // f > 1 and (bsz // f) * mp1 > _LONG_CELL_BUDGET:
+    while bsz // f > 1 and (bsz // f) * mp1 > budget:
         if (bsz // f) % 2:
             break
         f *= 2
@@ -287,6 +308,7 @@ def _kernel(
     n_cols: int = 0,  # padded b-side length N (for the band window)
     band_classes: tuple = (),
     variant: str = "r5",
+    ln_bits: int = _LN_BITS,
     debug: str = "",  # measurement-only stage ablation (WRONG results)
 ):
     """``n_diag`` anti-diagonals per grid step.
@@ -477,7 +499,7 @@ def _kernel(
                 s_cell = (
                     jnp.where(
                         d_sel,
-                        sh(qS) + (match << _LN_BITS),
+                        sh(qS) + (match << ln_bits),
                         jnp.where(u_sel, sh(pS), pS),
                     )
                     + 1  # length += 1 on every move
@@ -544,7 +566,7 @@ def _kernel(
                 s_cell = (
                     jnp.where(
                         d_sel,
-                        qSsh + (match << _LN_BITS),
+                        qSsh + (match << ln_bits),
                         jnp.where(ix >= iy, pSsh, pS),
                     )
                     + 1
@@ -674,7 +696,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "gap_open", "gap_ext", "interpret", "score_i16", "variant",
-        "debug",
+        "ln_bits", "debug",
     ),
 )
 def nw_similarity_batch_pallas(
@@ -689,6 +711,7 @@ def nw_similarity_batch_pallas(
     interpret: bool = False,
     score_i16: bool = False,
     variant: str = "r5",
+    ln_bits: int | None = None,
     debug: str = "",
 ) -> NWResult:
     """(matches, alignment_length) per pair — Pallas TPU fast path.
@@ -702,14 +725,15 @@ def nw_similarity_batch_pallas(
     """
     bsz, m = a_idx.shape
     n = b_idx.shape[1]
-    if m + n >= (1 << _LN_BITS):
+    lb = ln_bits if ln_bits is not None else _ln_bits(m + n)
+    if m + n >= (1 << lb):
         raise ValueError(
             f"padded m+n = {m + n} exceeds packed-length budget "
-            f"{(1 << _LN_BITS) - 1}; use ops.nw.nw_similarity_batch"
+            f"{(1 << _LN_BITS_WIDE) - 1}; use ops.nw.nw_similarity_batch"
         )
     mp1 = m + 1
     d_total = m + n
-    f = _batch_split(mp1, bsz)
+    f = _batch_split(mp1, bsz, score_i16)
     if f > 1:
         res = nw_similarity_tiles_pallas(
             a_idx.reshape(f, bsz // f, m),
@@ -720,7 +744,7 @@ def nw_similarity_batch_pallas(
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
             interpret=interpret, score_i16=score_i16,
-            variant=variant, debug=debug,
+            variant=variant, ln_bits=lb, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(bsz),
@@ -738,11 +762,11 @@ def nw_similarity_batch_pallas(
     out = _run_kernel(
         slab[None], bstream[None], alen, fd, (mp1, bsz), d_pad,
         gap_open, gap_ext, interpret, score_i16, nd, n,
-        _band_enabled(mp1), variant, debug,
+        _band_enabled(mp1), variant, lb, debug,
     )
     packed = out[0, 0, :]
     return NWResult(
-        matches=packed >> _LN_BITS, length=packed & _LN_MASK
+        matches=packed >> lb, length=packed & ((1 << lb) - 1)
     )
 
 
@@ -791,7 +815,7 @@ def _band_enabled(mp1: int) -> bool:
 def _run_kernel(
     slab, bstream, alen, fd, shape, d_total, gap_open, gap_ext,
     interpret, i16=False, n_diag=2, n_cols=0, band=False,
-    variant="r5", debug="",
+    variant="r5", ln_bits=_LN_BITS, debug="",
 ):
     """Launch the wavefront kernel over a (tiles, diagonals) grid.
 
@@ -825,7 +849,7 @@ def _run_kernel(
         i16_clamp=not _i16_clamp_free(mp1, gap_open, gap_ext),
         n_diag=n_diag, n_cols=n_cols,
         band_classes=band_classes,
-        variant=variant, debug=debug,
+        variant=variant, ln_bits=ln_bits, debug=debug,
     )
     sdt = jnp.int16 if i16 else jnp.int32
     vshape = (1, shape[1])
@@ -902,7 +926,8 @@ def _run_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "gap_open", "gap_ext", "interpret",
-                     "score_i16", "min_split", "variant", "debug"),
+                     "score_i16", "min_split", "variant", "ln_bits",
+                     "debug"),
 )
 def nw_similarity_tiles_pallas(
     a_idx: jnp.ndarray,  # int32 [T, B, M]
@@ -918,6 +943,7 @@ def nw_similarity_tiles_pallas(
     score_i16: bool = False,
     min_split: int = 1,
     variant: str = "r5",
+    ln_bits: int | None = None,
     debug: str = "",
 ) -> NWResult:
     """T independent pair tiles swept in ONE kernel launch.
@@ -932,14 +958,15 @@ def nw_similarity_tiles_pallas(
     del layout  # single layout since the minor-axis-preserving prepass
     t_tiles, bsz, m = a_idx.shape
     n = b_idx.shape[2]
-    if m + n >= (1 << _LN_BITS):
+    lb = ln_bits if ln_bits is not None else _ln_bits(m + n)
+    if m + n >= (1 << lb):
         raise ValueError(
             f"padded m+n = {m + n} exceeds packed-length budget "
-            f"{(1 << _LN_BITS) - 1}; use ops.nw.nw_similarity_batch"
+            f"{(1 << _LN_BITS_WIDE) - 1}; use ops.nw.nw_similarity_batch"
         )
     mp1 = m + 1
     d_total = m + n
-    f = _batch_split(mp1, bsz)
+    f = _batch_split(mp1, bsz, score_i16)
     # drivers raise min_split after a terminal-side scoped-VMEM compile
     # failure (the relay pool's limit/measurement is not uniform)
     while f < min_split and bsz // f > 1 and (bsz // f) % 2 == 0:
@@ -957,7 +984,7 @@ def nw_similarity_tiles_pallas(
             layout="long",
             gap_open=gap_open, gap_ext=gap_ext,
             interpret=interpret, score_i16=score_i16,
-            variant=variant, debug=debug,
+            variant=variant, ln_bits=lb, debug=debug,
         )
         return NWResult(
             matches=res.matches.reshape(t_tiles, bsz),
@@ -979,12 +1006,12 @@ def nw_similarity_tiles_pallas(
     fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, 1, bsz)
     out = _run_kernel(
         slab, bstream, alen, fd, (mp1, bsz), d_pad, gap_open, gap_ext,
-        interpret, score_i16, nd, n, _band_enabled(mp1), variant,
+        interpret, score_i16, nd, n, _band_enabled(mp1), variant, lb,
         debug,
     )
     packed = out[:, 0, :]  # [T, B]
     return NWResult(
-        matches=packed >> _LN_BITS, length=packed & _LN_MASK
+        matches=packed >> lb, length=packed & ((1 << lb) - 1)
     )
 
 
@@ -1017,4 +1044,272 @@ def nw_similarity_batch_pallas_short(
         a_idx, a_len, b_idx, b_len, sub,
         gap_open=gap_open, gap_ext=gap_ext, interpret=interpret,
         score_i16=score_i16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XL regime: pairs on SUBLANES, DP rows on LANES (round 5)
+#
+# The standard layout's substitution slab costs 24 bytes per (DP row,
+# lane), and lanes pad to 128 — so past mp1 ~ 1120 the slab plus state
+# planes cannot fit scoped VMEM at ANY pair batch (Mosaic measured
+# 19.56 MB at mp1=5008 even with 16 pairs).  Transposing the layout
+# (pairs on the 8-sublane axis, DP rows on the 128-lane axis) shrinks
+# the resident footprint 16x: at B8=8 pairs per tile, slab + planes fit
+# to mp1 ~ 12k.  The xl kernel is deliberately simple — unbanded, no
+# i16 (nw_i16_ok fails at these depths anyway), r4-style chaining with
+# lane-axis rolls — because its competitor is the ~40x-slower scan
+# backend, not the tuned standard kernel.  Bit-exact vs the scan
+# backend / C++ oracle (tests/test_nw_pallas.py, tools/probe_kernel
+# runs at 5,000 aa).
+# ---------------------------------------------------------------------------
+
+_XL_B8 = 8  # pairs per tile (the int32 sublane tile)
+# standard-layout dispatch ceiling: lanes pad to 128, so the scoped
+# VMEM cell budget implies mp1 <= ~1120 (non-i16 accounting) for the
+# pairs-on-lanes kernel; beyond that the xl layout takes over
+PALLAS_MAX_MP1 = 1120
+# xl ceiling: 7 int32 planes + the 24 B/row slab at B8=8 stay under
+# ~half the 16 MB scoped limit up to MP1L = 12288 lanes
+XL_MAX_MP1 = 12288
+
+
+def _kernel_xl(
+    slab_ref,  # int32 [1, 6, B8, MP1L]
+    bstr_ref,  # int32 [1, 1, n_diag, B8, 1] — this step's fresh b-chars
+    alen_ref,  # int32 [1, B8, 1]
+    fd_ref,  # int32 [1, B8, 1]
+    out_ref,  # int32 [1, B8, 1] — packed (matches << ln_bits | length)
+    m_b, ix_b, iy_b, s_b,
+    best_a, s_a,
+    c_pl,
+    cap,
+    *,
+    go: int,
+    ge: int,
+    shape: tuple,  # (B8, MP1L)
+    n_diag: int = 2,
+    ln_bits: int = _LN_BITS,
+):
+    """Transposed wavefront step: DP row index rides the LANE axis, so
+    the ``sh`` ancestor shift is a lane-axis roll and every mask iota
+    runs along axis 1.  Semantics identical to the standard kernel's r4
+    step body (same D > U > L priority, border/interior gap asymmetry,
+    packed stats); no banding — every step computes the full row range
+    (dead work is the price of the 16x smaller resident footprint)."""
+    g = pl.program_id(1)
+    b8, mp1l = shape
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)  # DP row index
+    local0 = row == 0
+    neg = NEG
+
+    @pl.when(g == 0)
+    def _init():
+        m_b[:] = jnp.where(local0, 0, neg)
+        ix_b[:] = jnp.full(shape, neg, jnp.int32)
+        iy_b[:] = jnp.full(shape, neg, jnp.int32)
+        s_b[:] = jnp.zeros(shape, jnp.int32)
+        best_a[:] = jnp.full(shape, neg, jnp.int32)
+        s_a[:] = jnp.zeros(shape, jnp.int32)
+        c_pl[:] = jnp.zeros(shape, jnp.int32)
+        cap[:] = jnp.zeros((b8, 1), jnp.int32)
+
+    def sh(x):  # shifted[i] = x[i-1] along the lane (row) axis
+        return pltpu.roll(x, 1, 1)
+
+    sw = [slab_ref[0, k] for k in range(_N_WORDS)]
+
+    def score_diag(c):
+        sha = (c & 3) << 3
+        b2 = (c & 4) != 0
+        b3 = (c & 8) != 0
+        b4 = (c & 16) != 0
+        t0 = jnp.where(b2, sw[1], sw[0])
+        t1 = jnp.where(b2, sw[3], sw[2])
+        t2 = jnp.where(b2, sw[5], sw[4])
+        u0 = jnp.where(b3, t1, t0)
+        v = jnp.where(b4, t2, u0)
+        s2 = ((v >> sha) & 0xFF) - _BIAS
+        return s2 >> 1, s2 & 1
+
+    def cell(d1, score, match, prev, prev2):
+        pM, pIx, pIy, pS = prev
+        qBest, qS = prev2
+        ix = jnp.maximum(sh(pM) - (go + ge), sh(pIx) - ge)
+        iy = jnp.maximum(pM - (go + ge), pIy - ge)
+        mnew = sh(qBest) + score
+        mxy = jnp.maximum(ix, iy)
+        d_sel = mnew >= mxy  # priority D > U > L
+        m_cell = jnp.maximum(mnew, mxy)
+        s_cell = (
+            jnp.where(
+                d_sel,
+                sh(qS) + (match << ln_bits),
+                jnp.where(ix >= iy, sh(pS), pS),
+            )
+            + 1
+        )
+        border_gap = -go - (d1 - 1) * ge
+        is0 = local0
+        isd = row == d1
+        m_cell = jnp.where(is0 | isd, neg, m_cell)
+        ix = jnp.where(isd, border_gap, jnp.where(is0, neg, ix))
+        iy = jnp.where(is0, border_gap, jnp.where(isd, neg, iy))
+        s_cell = jnp.where(is0 | isd, d1, s_cell)
+        best = jnp.maximum(m_cell, jnp.maximum(ix, iy))
+
+        row_hit = fd_ref[0] == d1  # [B8, 1]
+
+        @pl.when(jnp.any(row_hit))
+        def _():
+            hit = row_hit & (alen_ref[0] == row)
+            cap[:] += jnp.sum(
+                jnp.where(hit, s_cell, 0), axis=1, keepdims=True
+            )
+
+        return m_cell, ix, iy, s_cell, best
+
+    d0 = n_diag * g
+    bm = m_b[:]
+    bix = ix_b[:]
+    biy = iy_b[:]
+    prev = (bm, bix, biy, s_b[:])
+    prev2 = (best_a[:], s_a[:])
+    prev_best = jnp.maximum(bm, jnp.maximum(bix, biy))
+    c_cur = c_pl[:]
+    for t in range(n_diag):
+        c_cur = jnp.where(local0, bstr_ref[0, 0, t], sh(c_cur))
+        score, match = score_diag(c_cur)
+        new = cell(d0 + t + 1, score, match, prev, prev2)
+        prev2 = (prev_best, prev[3])
+        prev = new[:4]
+        prev_best = new[4]
+    c_pl[:] = c_cur
+    best_a[:] = prev2[0]
+    s_a[:] = prev2[1]
+    m_b[:] = prev[0]
+    ix_b[:] = prev[1]
+    iy_b[:] = prev[2]
+    s_b[:] = prev[3]
+
+    @pl.when(g == pl.num_programs(1) - 1)
+    def _emit():
+        out_ref[0] = cap[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_open", "gap_ext", "interpret"),
+)
+def nw_similarity_batch_pallas_xl(
+    a_idx: jnp.ndarray,  # int32 [B, M]
+    a_len: jnp.ndarray,  # int32 [B]
+    b_idx: jnp.ndarray,  # int32 [B, N]
+    b_len: jnp.ndarray,  # int32 [B]
+    sub: jnp.ndarray,  # int32 [32, 32]
+    *,
+    gap_open: int = 10,
+    gap_ext: int = 4,
+    interpret: bool = False,
+) -> NWResult:
+    """Multi-kilobase NW fast path (pairs-on-sublanes xl layout).
+
+    Serves padded m+1 up to XL_MAX_MP1 (and padded m+n < 32768, the
+    wide packed-stats budget) where the standard layout's VMEM-resident
+    slab cannot fit.  Same reference semantics, bit-identical results
+    (src/pairwiseSeqAlign.cpp:209-313 has no length limit; this closes
+    the framework's former multi-kilobase cliff to the scan backend)."""
+    bsz, m = a_idx.shape
+    n = b_idx.shape[1]
+    lb = _ln_bits(m + n)
+    if m + n >= (1 << _LN_BITS_WIDE):
+        raise ValueError(
+            f"padded m+n = {m + n} exceeds packed-length budget "
+            f"{(1 << _LN_BITS_WIDE) - 1}; use ops.nw.nw_similarity_batch"
+        )
+    mp1 = m + 1
+    if mp1 > XL_MAX_MP1:
+        raise ValueError(
+            f"padded m+1 = {mp1} exceeds the xl kernel ceiling "
+            f"{XL_MAX_MP1}; use ops.nw.nw_similarity_batch"
+        )
+    mp1l = -(-mp1 // 128) * 128
+    b8 = _XL_B8
+    t_tiles = -(-bsz // b8)
+    pad = t_tiles * b8 - bsz
+    if pad:
+        a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
+        a_len = jnp.pad(a_len, ((0, pad),))
+        b_idx = jnp.pad(b_idx, ((0, pad), (0, 0)))
+        b_len = jnp.pad(b_len, ((0, pad),))
+    nd = 2
+    d_total = m + n
+    d_pad = d_total + (-d_total % nd)
+    slab, bstream = _score_slab(
+        a_idx.astype(jnp.int32), b_idx.astype(jnp.int32), sub, d_pad
+    )  # [6, Mp1, T*B8], [Dpad, T*B8]
+    slab = jnp.pad(slab, ((0, 0), (0, mp1l - mp1), (0, 0)))
+    slab_xl = jnp.transpose(slab, (2, 0, 1)).reshape(
+        t_tiles, b8, _N_WORDS, mp1l
+    ).transpose(0, 2, 1, 3)  # [T, 6, B8, MP1L]
+    bstr_xl = jnp.transpose(bstream, (1, 0)).reshape(
+        t_tiles, b8, d_pad // nd, nd
+    ).transpose(0, 2, 3, 1)[..., None]  # [T, Dpad/nd, nd, B8, 1]
+    alen = a_len.astype(jnp.int32).reshape(t_tiles, b8, 1)
+    fd = (a_len + b_len).astype(jnp.int32).reshape(t_tiles, b8, 1)
+
+    shape = (b8, mp1l)
+    kernel = functools.partial(
+        _kernel_xl, go=gap_open, ge=gap_ext, shape=shape, n_diag=nd,
+        ln_bits=lb,
+    )
+    plane = lambda: pltpu.VMEM(shape, jnp.int32)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_tiles, d_pad // nd),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _N_WORDS) + shape,
+                lambda t, g: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nd, b8, 1),
+                lambda t, g: (t, g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, b8, 1), lambda t, g: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, b8, 1), lambda t, g: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b8, 1), lambda t, g: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_tiles, b8, 1), jnp.int32),
+        scratch_shapes=[
+            plane(),  # m_b
+            plane(),  # ix_b
+            plane(),  # iy_b
+            plane(),  # s_b
+            plane(),  # best_a
+            plane(),  # s_a
+            plane(),  # c_pl
+            pltpu.VMEM((b8, 1), jnp.int32),  # cap
+        ],
+        interpret=interpret,
+    )(
+        slab_xl,
+        bstr_xl,
+        alen,
+        fd,
+    )
+    packed = out.reshape(t_tiles * b8)[:bsz]
+    return NWResult(
+        matches=packed >> lb, length=packed & ((1 << lb) - 1)
     )

@@ -74,7 +74,9 @@ def test_pallas_lane_aligned_shapes(make_seqs):
 
 
 def test_packed_length_guard():
-    e = encode.encode(["A" * 5000], pad_to=5000)
+    # the 15-bit wide packing serves padded m+n < 32768; beyond that
+    # the kernel must refuse (the dispatcher routes to scan first)
+    e = encode.encode(["A" * 17000], pad_to=17000)
     with pytest.raises(ValueError, match="packed-length"):
         nw_similarity_batch_pallas(
             jnp.asarray(e.indices), jnp.asarray(e.lengths),
@@ -89,6 +91,84 @@ def test_backend_dispatch():
     assert pick_nw_backend(127, 127, "pallas") == "pallas"
     assert pick_nw_backend(639, 639, "scan") == "scan"
     assert pick_nw_backend(15, 15, "pallas_short") == "pallas_short"
+
+
+def test_backend_dispatch_wide_lengths(monkeypatch):
+    """Past the standard layout's VMEM ceiling (mp1 > PALLAS_MAX_MP1)
+    the dispatcher routes to the transposed xl Pallas kernel up to
+    padded m+n < 32768 (15-bit wide packing); only beyond that does it
+    fall to scan.  tpu_available is faked — routing only."""
+    import dynaalign_tpu.ops as ops
+
+    monkeypatch.setattr(ops, "tpu_available", lambda: True)
+    assert pick_nw_backend(1047, 1047, "auto", bsz=128) == "pallas"
+    assert pick_nw_backend(5007, 5007, "auto", bsz=128) == "pallas_xl"
+    # xl has no alignment preconditions (it pads internally)
+    assert pick_nw_backend(5000, 5000, "auto", bsz=100) == "pallas_xl"
+    assert pick_nw_backend(12007, 12007, "auto", bsz=128) == "pallas_xl"
+    assert pick_nw_backend(16407, 16407, "auto", bsz=128) == "scan"
+
+
+def test_xl_kernel_bit_exact(make_seqs):
+    """The transposed xl kernel (pairs on sublanes) is bit-exact vs the
+    oracle at odd batch sizes and unaligned lengths (interpret mode;
+    the on-chip multi-kilobase run lives in tools/probe_kernel.py)."""
+    from dynaalign_tpu.ops.nw_pallas import nw_similarity_batch_pallas_xl
+
+    seqs = make_seqs(22, 20, 90, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:11], seqs[11:]))
+    np.testing.assert_array_equal(
+        _run(pairs, kernel=nw_similarity_batch_pallas_xl),
+        _oracle(pairs),
+    )
+    np.testing.assert_array_equal(
+        _run(pairs, go=12, ge=2, kernel=nw_similarity_batch_pallas_xl),
+        _oracle(pairs, go=12, ge=2),
+    )
+
+
+def test_wide_packing_bit_exact(make_seqs):
+    """Forced 15-bit length field at small sizes: identical results to
+    the default 13-bit field and to the oracle (the packing width must
+    not affect values, only capacity)."""
+    seqs = make_seqs(16, 30, 60, alphabet=encode.ALPHABET)
+    pairs = list(zip(seqs[:8], seqs[8:]))
+    np.testing.assert_array_equal(
+        _run(pairs, ln_bits=15), _oracle(pairs)
+    )
+    np.testing.assert_array_equal(
+        _run(pairs, ln_bits=15), _run(pairs)
+    )
+
+
+def test_wide_packing_auto_threshold(make_seqs):
+    """Padded m+n >= 8192 auto-selects the wide field and stays bit
+    exact vs the scan backend (band-limited, i16 ineligible at this
+    depth).  One short true pair inside a deep padded grid keeps the
+    interpret-mode sweep affordable while exercising the real
+    wide-packing capture path."""
+    from dynaalign_tpu.ops.nw import nw_similarity_batch
+
+    seqs = make_seqs(2, 150, 200, alphabet=encode.ALPHABET)
+    ea = encode.encode([seqs[0]], pad_to=4103)
+    eb = encode.encode([seqs[1]], pad_to=4103)
+    sub = jnp.asarray(blosum.get_matrix())
+    res = nw_similarity_batch_pallas(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub, interpret=True,
+    )
+    want = nw_similarity_batch(
+        jnp.asarray(ea.indices), jnp.asarray(ea.lengths),
+        jnp.asarray(eb.indices), jnp.asarray(eb.lengths),
+        sub,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.matches), np.asarray(want.matches)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.length), np.asarray(want.length)
+    )
 
 
 def test_pallas_short_bit_exact_random(make_seqs):

@@ -43,7 +43,11 @@ def main():
 
     from dynaalign_tpu import blosum, encode, oracle
     from dynaalign_tpu.ops import nw_i16_ok
-    from dynaalign_tpu.ops.nw_pallas import nw_similarity_batch_pallas
+    from dynaalign_tpu.ops.nw_pallas import (
+        PALLAS_MAX_MP1,
+        nw_similarity_batch_pallas,
+        nw_similarity_batch_pallas_xl,
+    )
 
     rng = np.random.default_rng(0)
     aas = list("ARNDCQEGHILKMFPSTWYV")
@@ -68,16 +72,26 @@ def main():
     # absorb the per-process relay warmup before timing anything
     np.asarray(jnp.zeros(4) + 1)
 
+    xl = pad_to + 1 > PALLAS_MAX_MP1
+    if xl:
+        print("xl regime (pairs-on-sublanes transposed kernel)",
+              flush=True)
+
     def run_k(k):
         outs = []
         t0 = time.perf_counter()
         for _ in range(k):
-            outs.append(
-                nw_similarity_batch_pallas(
-                    a_idx, a_len, b_idx, b_len, sub, score_i16=i16,
-                    variant=VARIANT, debug=DEBUG,
+            if xl:
+                outs.append(nw_similarity_batch_pallas_xl(
+                    a_idx, a_len, b_idx, b_len, sub,
+                ))
+            else:
+                outs.append(
+                    nw_similarity_batch_pallas(
+                        a_idx, a_len, b_idx, b_len, sub, score_i16=i16,
+                        variant=VARIANT, debug=DEBUG,
+                    )
                 )
-            )
         m = np.asarray(outs[-1].matches)
         ln = np.asarray(outs[-1].length)
         return time.perf_counter() - t0, m, ln
