@@ -6,6 +6,10 @@ from .mesh import (  # noqa: F401
     row_sharded,
 )
 from .allpairs import (  # noqa: F401
+    bucketed_schedule_stats,
+    nw_allpairs_schedule_stats,
+    plan_bucket_group,
+    plan_nw_allpairs,
     sharded_minhash_similarity,
     sharded_nw_allpairs,
     sharded_nw_allpairs_bucketed,

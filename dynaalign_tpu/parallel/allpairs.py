@@ -39,6 +39,10 @@ __all__ = [
     "sharded_minhash_similarity",
     "sharded_nw_allpairs",
     "sharded_nw_allpairs_bucketed",
+    "plan_nw_allpairs",
+    "nw_allpairs_schedule_stats",
+    "plan_bucket_group",
+    "bucketed_schedule_stats",
 ]
 
 
@@ -62,6 +66,80 @@ def _put(arr, mesh: Mesh, spec: P):
     return jax.device_put(
         arr, jax.sharding.NamedSharding(mesh, spec)
     )
+
+
+def plan_bucket_group(
+    npairs: int, ndev: int, max_batch: int, pallas_ok: bool = False
+) -> tuple[int, int, int]:
+    """(batch_g, t_batches, group_g) for one bucket-pair group —
+    the exact quantities sharded_nw_allpairs_bucketed schedules with.
+    Total computed pair slots = t_batches * batch_g (>= npairs; the
+    excess recomputes pair 0 of the group and is discarded)."""
+    batch_g = pick_group_batch(npairs, ndev, max_batch, pallas_ok)
+    t_batches = max(-(-npairs // batch_g), 1)
+    group_g = min(_SHARDED_GROUP, max(t_batches // ndev, 1))
+    t_batches = -(-t_batches // (ndev * group_g)) * ndev * group_g
+    return batch_g, t_batches, group_g
+
+
+def bucketed_schedule_stats(
+    sequences, *, ndev: int, bucket_edges=None, batch: int = 256,
+    backend: str = "auto",
+) -> dict:
+    """Static per-device load statistics for the bucketed NW schedule.
+
+    Per group every batch has equal padded cost (area = the two bucket
+    edges' padded product), and t_batches is a whole multiple of
+    ndev * group_g — so per-device batch counts are exactly equal
+    within every group, and the only efficiency loss is padded slots.
+    Reports the per-device area totals and the area-weighted
+    pad-efficiency (real pair area / computed slot area).
+    """
+    from ..api import PALLAS_BUCKET_EDGES
+    from ..encode import bucket_by_length
+    from ..ops import pick_nw_backend
+
+    seqs = list(sequences)
+    n = len(seqs)
+    if bucket_edges is None:
+        bucket_edges = PALLAS_BUCKET_EDGES
+    buckets = bucket_by_length(seqs, bucket_edges=tuple(bucket_edges))
+    which = np.zeros(n, dtype=np.int64)
+    for b, (pos, _) in enumerate(buckets):
+        which[pos] = b
+    iu = np.triu_indices(n)
+    groups: dict[tuple[int, int], int] = {}
+    for gi, gj in zip(which[iu[0]], which[iu[1]]):
+        key = (int(gi), int(gj))
+        groups[key] = groups.get(key, 0) + 1
+    per_dev_area = np.zeros(ndev, dtype=np.float64)
+    real_area = 0.0
+    slot_area = 0.0
+    for (ba, bb), npairs in groups.items():
+        m_a = buckets[ba][1].max_len
+        m_b = buckets[bb][1].max_len
+        area = float(m_a) * float(m_b)
+        pallas_ok = pick_nw_backend(
+            m_a, m_b, backend, bsz=128
+        ).startswith("pallas")
+        batch_g, t_batches, group_g = plan_bucket_group(
+            npairs, ndev, batch, pallas_ok
+        )
+        # equal per-device batch counts by construction
+        per_dev_area += (t_batches // ndev) * batch_g * area
+        real_area += npairs * area
+        slot_area += t_batches * batch_g * area
+    return {
+        "ndev": ndev,
+        "area_per_device": per_dev_area.tolist(),
+        "area_spread": float(
+            (per_dev_area.max() - per_dev_area.min())
+            / max(per_dev_area.max(), 1.0)
+        ),
+        "balance": float(per_dev_area.mean() / per_dev_area.max()),
+        "pad_efficiency": real_area / slot_area,
+        "n_groups": len(groups),
+    }
 
 
 def pick_group_batch(
@@ -279,6 +357,75 @@ def _nw_tiles_sharded(
     return fn(seq_idx, lengths, sub, tile_rows, tile_cols)
 
 
+def plan_nw_allpairs(
+    n: int, tile: int, ndev: int, max_tiles_per_dispatch: int = 1024
+):
+    """The exact tile schedule sharded_nw_allpairs executes.
+
+    Returns (tiles, order, inv_order, group, seg): the padded
+    upper-triangle tile list (dummy tiles recompute tile 0), the
+    within-segment device interleave, its inverse, the per-launch group
+    size and the per-dispatch segment length.  Factored out so the
+    load-balance stats/tests measure the REAL schedule, not a replica
+    (SURVEY.md §7 hard part 6; the OpenMP loop it replaces is
+    src/minHash.cpp:164-167).
+    """
+    nb = -(-n // tile)
+    tiles = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    group = min(_SHARDED_GROUP, max(len(tiles) // ndev, 1))
+    while len(tiles) % (ndev * group):
+        tiles.append((0, 0))
+    quantum = ndev * group
+    seg = min(
+        len(tiles), max(max_tiles_per_dispatch // quantum, 1) * quantum
+    )
+    while len(tiles) % seg:
+        tiles.append((0, 0))
+    n_tiles_padded = len(tiles)
+    order = np.concatenate([
+        s * seg + np.argsort(np.arange(seg) % ndev, kind="stable")
+        for s in range(n_tiles_padded // seg)
+    ])
+    inv_order = np.argsort(order, kind="stable")
+    return tiles, order, inv_order, group, seg
+
+
+def nw_allpairs_schedule_stats(
+    n: int, tile: int, ndev: int, max_tiles_per_dispatch: int = 1024
+) -> dict:
+    """Static per-device load statistics for the uniform NW schedule.
+
+    Every tile costs the same on device (equal padded [tile, tile]
+    shape), so balance is exactly the per-device tile-count spread.
+    ``pad_efficiency`` is the fraction of computed pair slots that are
+    real upper-triangle pairs (the rest: dummy tiles, sub-triangle
+    halves of diagonal tiles, and index padding past n).
+    """
+    tiles, order, _, group, seg = plan_nw_allpairs(
+        n, tile, ndev, max_tiles_per_dispatch
+    )
+    n_tiles = len(tiles)
+    # device of each reordered position: shard_map splits the tile axis
+    # into ndev contiguous chunks per segment
+    per_dev = np.zeros(ndev, dtype=np.int64)
+    chunk = seg // ndev
+    for s in range(n_tiles // seg):
+        for d in range(ndev):
+            per_dev[d] += chunk
+    real_pairs = n * (n + 1) // 2
+    total_slots = n_tiles * tile * tile
+    return {
+        "ndev": ndev,
+        "tiles_per_device": per_dev.tolist(),
+        "tile_spread": int(per_dev.max() - per_dev.min()),
+        "balance": float(per_dev.mean() / per_dev.max()),
+        "pad_efficiency": real_pairs / total_slots,
+        "n_tiles": n_tiles,
+        "segments": n_tiles // seg,
+        "group": group,
+    }
+
+
 def sharded_nw_allpairs(
     seq_idx: np.ndarray,
     lengths: np.ndarray,
@@ -316,33 +463,14 @@ def sharded_nw_allpairs(
     n = seq_idx.shape[0]
     nb = -(-n // tile)
 
-    tiles = [
-        (bi, bj) for bi in range(nb) for bj in range(bi, nb)
-    ]
-    # pad tile list to a whole (device, launch-group) grid (dummy tiles
-    # recompute tile 0)
-    group = min(_SHARDED_GROUP, max(len(tiles) // ndev, 1))
-    while len(tiles) % (ndev * group):
-        tiles.append((0, 0))
-    # one dispatch sweeps at most `seg` tiles; every dispatch gets the
-    # SAME shape (one compiled program) by padding the tile list to a
-    # whole number of segments
-    quantum = ndev * group
-    seg = min(
-        len(tiles), max(max_tiles_per_dispatch // quantum, 1) * quantum
+    # the tile schedule: padded upper-triangle list, device interleave
+    # within each same-shaped dispatch segment (plan_nw_allpairs is the
+    # single source of truth — the load-balance stats/tests measure it)
+    tiles, order, inv_order, group, seg = plan_nw_allpairs(
+        n, tile, ndev, max_tiles_per_dispatch
     )
-    while len(tiles) % seg:
-        tiles.append((0, 0))
-    t_arr = np.asarray(tiles, dtype=np.int32)
+    t_arr = np.asarray(tiles, dtype=np.int32)[order]
     n_tiles_padded = len(tiles)
-    # round-robin by interleaving WITHIN each segment so each device
-    # gets an even spread of every dispatch's tiles
-    order = np.concatenate([
-        s * seg + np.argsort(np.arange(seg) % ndev, kind="stable")
-        for s in range(n_tiles_padded // seg)
-    ])
-    t_arr = t_arr[order]
-    inv_order = np.argsort(order, kind="stable")
 
     ids = np.arange(nb * tile, dtype=np.int32) % n
     tile_rows = ids.reshape(nb, tile)[t_arr[:, 0]]
@@ -613,10 +741,9 @@ def sharded_nw_allpairs_bucketed(
             buckets[ba][1].max_len, buckets[bb][1].max_len, backend,
             bsz=128,
         ).startswith("pallas")
-        batch_g = pick_group_batch(npairs, ndev, batch, pallas_ok)
-        t_batches = max(-(-npairs // batch_g), 1)
-        group_g = min(_SHARDED_GROUP, max(t_batches // ndev, 1))
-        t_batches = -(-t_batches // (ndev * group_g)) * ndev * group_g
+        batch_g, t_batches, group_g = plan_bucket_group(
+            npairs, ndev, batch, pallas_ok
+        )
         pad = t_batches * batch_g
         rows = np.pad(rows, (0, pad - npairs)).reshape(
             t_batches, batch_g
