@@ -45,6 +45,16 @@ def _row_dp(score_rows, go: float, ge: float):
     the reference's priority D > U > L (src/pairwiseSeqAlign.cpp:271-279)
     and border conventions (:222-235).
 
+    NOTE (round 5, found by brute-force enumeration in
+    tests/test_consensus_properties.py): the reference's greedy
+    single-matrix traceback — following each cell's overwritten max —
+    is NOT guaranteed affine-optimal (e.g. YTM vs HLQIG walks a -25
+    path where the true optimum is -17: the optimal trailing gap run
+    passes through an Iy value below the cell max, so the greedy walk
+    leaves it).  This is the reference's own semantics (the C++ oracle
+    and the TPU kernel agree bit-for-bit, and nw_align_pair's percent
+    identity equals oracle.nw_pair on fuzzed pairs), kept deliberately.
+
     Vectorization: per row, Ix and the diagonal candidates depend only on
     the previous row; the in-row chain
         Iy[j] = max(M[j-1] - (go+ge), Iy[j-1] - ge)
