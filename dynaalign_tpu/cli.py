@@ -202,6 +202,75 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_warm(args) -> int:
+    """Pre-compile the standard kernel shape families into the
+    persistent cache (cold Mosaic compiles of the banded NW shapes cost
+    minutes on the TPU relay; a warmed cache loads in seconds).
+
+    Compiled shapes key on the PADDED length, so warming uses the
+    LONGEST ``--n`` sequences of the input — a later full-set run over
+    the same input then hits the cache exactly.  Reports per-stage
+    seconds; run it twice to see the cold -> warm delta.
+    """
+    import time
+
+    from .io.seqio import read_sequences
+
+    seqs = list(read_sequences(args.input, column=args.column))
+    if args.limit:
+        seqs = seqs[: args.limit]
+    if not seqs:
+        print("no sequences", file=sys.stderr)
+        return 1
+    # longest-first so enc.max_len (and hence every compiled shape)
+    # matches a full-set run over the same input
+    warm_set = sorted(seqs, key=len, reverse=True)[: args.n]
+    engines = [e.strip() for e in args.engines.split(",") if e.strip()]
+    total0 = time.perf_counter()
+    timings = {}
+    # absorb the per-process relay warmup so stage times are compiles
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(4) + 1)
+    for eng in engines:
+        t0 = time.perf_counter()
+        if eng == "mh":
+            from .api import similarity_mh
+
+            similarity_mh(
+                warm_set, k=args.k, n_hash=args.n_hash, seed=args.seed
+            )
+        elif eng == "nw":
+            from .api import similarity_nw
+
+            # the fused single-dispatch route (the expensive
+            # shard_map-wrapped compile) engages past 24 tiles — the
+            # default --n 128 (8+ tiles of 16) crosses it
+            similarity_nw(
+                warm_set, args.matrix, args.gap_open, args.gap_ext
+            )
+        elif eng == "hybrid":
+            from .models import similarity_hybrid
+
+            similarity_hybrid(
+                warm_set, k=args.k, n_hash=args.n_hash,
+                seed=args.seed, matrix_name=args.matrix,
+                gap_open=args.gap_open, gap_ext=args.gap_ext,
+            )
+        else:
+            print(f"unknown engine {eng!r}", file=sys.stderr)
+            return 1
+        timings[eng] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({
+        "warmed": engines,
+        "n_seqs": len(warm_set),
+        "max_len": max(len(s) for s in warm_set),
+        "stage_seconds": timings,
+        "total_seconds": round(time.perf_counter() - total0, 2),
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dynaalign_tpu",
@@ -250,6 +319,28 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("stats", help="similarity matrix statistics")
     pt.add_argument("--similarity", required=True, help=".npz path")
     pt.set_defaults(fn=cmd_stats)
+
+    pw = sub.add_parser(
+        "warm",
+        help="pre-compile kernel shapes into the persistent cache",
+    )
+    _add_input_args(pw)
+    pw.add_argument(
+        "--engines", default="mh,nw",
+        help="comma list of engines to warm (mh,nw,hybrid)",
+    )
+    pw.add_argument(
+        "--n", type=int, default=128,
+        help="warm with the N longest sequences (shapes key on the "
+        "padded max length)",
+    )
+    pw.add_argument("--k", type=int, default=4)
+    pw.add_argument("--n-hash", type=int, default=50)
+    pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--matrix", default="BLOSUM62")
+    pw.add_argument("--gap-open", type=int, default=10)
+    pw.add_argument("--gap-ext", type=int, default=4)
+    pw.set_defaults(fn=cmd_warm)
     return p
 
 

@@ -83,3 +83,17 @@ def test_cli_pipeline_and_datasets(tmp_path, rng, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "h3n2sample: 8103 rows" in out
+
+
+def test_cli_warm(tmp_path, rng, capsys):
+    import json
+
+    fa, seqs = _write_inputs(tmp_path, rng)
+    rc = main([
+        "warm", "--input", str(fa), "--engines", "mh,nw", "--n", "8",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["warmed"] == ["mh", "nw"]
+    assert out["n_seqs"] == 8
+    assert set(out["stage_seconds"]) == {"mh", "nw"}
