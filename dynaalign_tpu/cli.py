@@ -37,7 +37,12 @@ def _add_input_args(p: argparse.ArgumentParser) -> None:
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
-        "--engine", choices=("mh", "nw", "hybrid"), default="mh"
+        "--engine",
+        choices=("mh", "nw", "hybrid", "topk", "hybrid-sparse"),
+        default="mh",
+        help="mh/nw/hybrid build a dense matrix; topk (MH top-k graph) "
+        "and hybrid-sparse (top-k + exact NW edge rescoring) are flat "
+        "large-N cluster engines that never materialize [N, N]",
     )
     p.add_argument("--k", type=int, default=4, help="MinHash k-mer size")
     p.add_argument("--n-hash", type=int, default=50)
@@ -46,6 +51,10 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gap-open", type=int, default=10)
     p.add_argument("--gap-ext", type=int, default=4)
     p.add_argument("--prefilter-quantile", type=float, default=0.8)
+    p.add_argument(
+        "--top-k", type=int, default=64,
+        help="neighbors per row for the sparse engines",
+    )
     p.add_argument(
         "--bucketed", action="store_true",
         help="length-bucketed NW (mixed-length workloads)",
@@ -56,6 +65,12 @@ def _similarity(seqs: list[str], args) -> np.ndarray:
     from .api import similarity_mh, similarity_nw, similarity_nw_bucketed
     from .models import similarity_hybrid
 
+    if args.engine in ("topk", "hybrid-sparse"):
+        raise SystemExit(
+            f"--engine {args.engine} is a flat large-N cluster engine "
+            "(no dense matrix exists); use it with the 'cluster' "
+            "subcommand"
+        )
     if args.engine == "mh":
         return similarity_mh(
             seqs, k=args.k, n_hash=args.n_hash, seed=args.seed
@@ -100,11 +115,56 @@ def cmd_cluster(args) -> int:
     from .io.seqio import read_sequences
 
     seqs = read_sequences(args.input, args.column, args.limit)
+    if args.engine in ("topk", "hybrid-sparse"):
+        # flat large-N clustering: one Louvain over the sparse top-k
+        # graph (MH weights, or exact NW edge weights for
+        # hybrid-sparse) — no [N, N] matrix, no size-capped recursion
+        import time
+
+        t0 = time.perf_counter()
+        if args.engine == "topk":
+            from .ops.topk_graph import cluster_large
+
+            mem = cluster_large(
+                seqs, k=args.k, n_hash=args.n_hash, seed=args.seed,
+                top_k=args.top_k, thresh_p=args.thresh_p,
+                resolution=args.resolution, louvain_seed=args.seed,
+            )
+        else:
+            from .models import cluster_large_exact
+
+            mem = cluster_large_exact(
+                seqs, k=args.k, n_hash=args.n_hash, seed=args.seed,
+                top_k=args.top_k, thresh_p=args.thresh_p,
+                matrix_name=args.matrix, gap_open=args.gap_open,
+                gap_ext=args.gap_ext, resolution=args.resolution,
+                louvain_seed=args.seed,
+            )
+        clustered = np.array(
+            [(s, str(int(c))) for s, c in zip(seqs, mem)], dtype=object
+        )
+        _write_clusters_csv(args.output, clustered, [])
+        print(
+            f"wrote {args.output}: {len(seqs)} sequences in "
+            f"{len(np.unique(mem))} clusters "
+            f"({time.perf_counter() - t0:.1f} s, {args.engine})"
+        )
+        return 0
+    if args.engine == "mh":
+        # signature-caching engine: bit-identical to per-subset
+        # similarity_mh but one signature build for the whole recursion
+        from .api import MinHashEngine
+
+        sim_fn = MinHashEngine(
+            seqs, k=args.k, n_hash=args.n_hash, seed=args.seed
+        )
+    else:
+        sim_fn = lambda x: _similarity(x, args)  # noqa: E731
     result = clusterbreak(
         seqs,
         thresh_p=args.thresh_p, size_max=args.size_max,
         size_min=args.size_min, max_itr=args.max_itr,
-        sim_fn=lambda x: _similarity(x, args),
+        sim_fn=sim_fn,
         resolution=args.resolution, seed=args.seed,
         checkpoint_path=args.checkpoint,
     )

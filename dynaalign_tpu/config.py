@@ -55,9 +55,15 @@ class ConsensusConfig:
 class HybridConfig:
     """MH prefilter + NW rescoring (the viral-panel hybrid config,
     BASELINE.md config 4): pairs at or above the MH quantile threshold
-    are rescored exactly with NW; the rest stay 0."""
+    are rescored exactly with NW; the rest stay 0.
+
+    ``prefilter_threshold`` (absolute MH similarity) bypasses the
+    quantile when set — the knob shared with the sparse path
+    (models.similarity_hybrid_sparse); ``top_k`` only applies there."""
 
     prefilter_quantile: float = 0.8
+    prefilter_threshold: float | None = None
+    top_k: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

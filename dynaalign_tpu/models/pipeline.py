@@ -396,6 +396,7 @@ class Pipeline:
                 sequences, k=cfg.minhash.k, n_hash=cfg.minhash.n_hash,
                 seed=cfg.minhash.seed,
                 prefilter_quantile=cfg.hybrid.prefilter_quantile,
+                prefilter_threshold=cfg.hybrid.prefilter_threshold,
                 matrix_name=cfg.nw.matrix_name,
                 gap_open=cfg.nw.gap_open, gap_ext=cfg.nw.gap_ext,
             )

@@ -97,3 +97,30 @@ def test_cli_warm(tmp_path, rng, capsys):
     assert out["warmed"] == ["mh", "nw"]
     assert out["n_seqs"] == 8
     assert set(out["stage_seconds"]) == {"mh", "nw"}
+
+
+def test_cli_cluster_sparse_engines(tmp_path, rng, capsys):
+    """topk and hybrid-sparse are flat large-N cluster engines: same
+    CSV schema, integer cluster labels, no FILTERED rows; and the
+    similarity subcommand rejects them with a clear message."""
+    import pytest
+
+    fa, seqs = _write_inputs(tmp_path, rng)
+    for engine in ("topk", "hybrid-sparse"):
+        out = tmp_path / f"{engine}.csv"
+        rc = main([
+            "cluster", "--input", str(fa), "--engine", engine,
+            "--k", "2", "--top-k", "8", "--output", str(out),
+        ])
+        assert rc == 0
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == len(seqs)
+        assert all(r["cluster"].isdigit() for r in rows)
+        # the planted 3-motif structure is recovered as >= 2 clusters
+        assert len({r["cluster"] for r in rows}) >= 2
+    with pytest.raises(SystemExit, match="cluster"):
+        main([
+            "similarity", "--input", str(fa), "--engine", "topk",
+            "--output", str(tmp_path / "x.npz"),
+        ])
