@@ -153,6 +153,9 @@ def similarity_mh(
             jnp.asarray(hash_family_seeds(n_hash, seed)),
             jnp.asarray(valid), k=k, block=block,
         )
+        if n_hash < 32768:
+            # halve the relay fetch (counts <= n_hash fit int16)
+            counts = counts.astype(jnp.int16)
         sims = np.asarray(counts)[:n, :n].astype(np.float64) / float(
             n_hash
         )

@@ -205,9 +205,14 @@ def signature_similarity(
     exactly 1.0 (reference sets it explicitly, src/minHash.cpp:161).
     """
     n_hash = np.asarray(sigs).shape[1]
-    counts = np.asarray(
-        signature_agreement_counts(sigs, block=block), dtype=np.float64
-    )
+    dev = signature_agreement_counts(sigs, block=block)
+    # counts <= n_hash, so an int16 device-side narrow halves the
+    # device->host fetch — the dominant cost of a full-set sweep under
+    # the TPU relay (528 MB of int32 counts at 11.5k sequences).
+    # Value-exact for every real n_hash (< 32768).
+    if n_hash < 32768:
+        dev = dev.astype(jnp.int16)
+    counts = np.asarray(dev).astype(np.float64)
     sims = counts / float(n_hash)
     np.fill_diagonal(sims, 1.0)
     return sims

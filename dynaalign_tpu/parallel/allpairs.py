@@ -203,7 +203,10 @@ def sharded_signature_agreement(
         eq = (
             rows_block[:, None, :] == cols_block[None, :, :]
         )  # [nr, nc, H], fused into the reduce
-        return jnp.sum(eq, axis=-1, dtype=jnp.int32)
+        counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
+        # counts <= H: narrow to int16 on device so the dominant
+        # device->host fetch halves (value-exact; widened back below)
+        return counts.astype(jnp.int16) if h < 32768 else counts
 
     fn = shard_map(
         block,
@@ -215,7 +218,7 @@ def sharded_signature_agreement(
         _put(padded, mesh, P(ROWS, None)),
         _put(padded, mesh, P(COLS, None)),
     )
-    return _fetch_global(out)[:n, :n]
+    return _fetch_global(out)[:n, :n].astype(np.int32)
 
 
 def sharded_minhash_similarity(
