@@ -343,7 +343,17 @@ def bench_hybrid_large(args) -> None:
     from dynaalign_tpu.models import cluster_large_exact
 
     seqs = list(load_sequences("allunique"))
-    if args.large_n:
+    if args.large_n > len(seqs):
+        # synthesize point mutants to reach config-5 scale (same
+        # protocol as bench_topk_large)
+        rng = np.random.default_rng(0)
+        aas = list("ARNDCQEGHILKMFPSTWYV")
+        base = rng.choice(len(seqs), size=args.large_n - len(seqs))
+        for b in base:
+            s = list(seqs[int(b)])
+            s[int(rng.integers(0, len(s)))] = str(rng.choice(aas))
+            seqs.append("".join(s))
+    elif args.large_n:
         seqs = seqs[: args.large_n]
     n = len(seqs)
     _warm_device()

@@ -585,13 +585,20 @@ def _kernel(
             if debug != "nocap":
                 row_hit = fd_ref[0] == d1
 
-                @pl.when(jnp.any(row_hit))
-                def _():
+                def _capture():
                     hit = row_hit & (alen_ref[0] == lane)
                     cap[:] += jnp.sum(
                         jnp.where(hit, s_cell, 0), axis=0,
                         keepdims=True,
                     )
+
+                if debug == "uncap":
+                    # probe variant (CORRECT results): run the capture
+                    # select+reduce every diagonal instead of guarding
+                    # behind jnp.any
+                    _capture()
+                else:
+                    pl.when(jnp.any(row_hit))(_capture)
 
             return sh(r), q, s_cell, sh(s_cell), sh(best)
 
