@@ -152,10 +152,7 @@ def similarity_mh(
             jnp.asarray(ascii_p), jnp.asarray(len_p),
             jnp.asarray(hash_family_seeds(n_hash, seed)),
             jnp.asarray(valid), k=k, block=block,
-        )
-        if n_hash < 32768:
-            # halve the relay fetch (counts <= n_hash fit int16)
-            counts = counts.astype(jnp.int16)
+        )  # int16 (narrowed inside the fused program; value-exact)
         sims = np.asarray(counts)[:n, :n].astype(np.float64) / float(
             n_hash
         )
@@ -238,7 +235,12 @@ class MinHashEngine:
             dev = signature_agreement_counts(
                 jnp.asarray(self._sigs), block=self._block
             )
-            self._counts = np.asarray(dev.astype(jnp.int16))
+            # n_hash <= 255 is already uint8; narrow int32 -> int16
+            # (never widen — counts <= n_hash are value-exact at any
+            # of these widths)
+            if dev.dtype == jnp.int32 and self.n_hash < 32768:
+                dev = dev.astype(jnp.int16)
+            self._counts = np.asarray(dev)
         return self._counts
 
     def __call__(self, subset: Sequence[str]) -> np.ndarray:

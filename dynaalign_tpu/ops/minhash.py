@@ -174,7 +174,12 @@ def _fused_mh_kernel(
     # make padding rows pairwise-distinct and distinct from real rows
     row_id = jnp.arange(n, dtype=jnp.uint32)[:, None] + jnp.uint32(1)
     sigs = jnp.where(row_valid[:, None], sigs, row_id)
-    return _agreement_kernel(sigs, block=block)
+    counts = _agreement_kernel(sigs, block=block)
+    # n_hash <= 255 is already uint8; narrow int32 counts to int16
+    # INSIDE the fused program (no extra dispatch; halves the fetch)
+    if counts.dtype == jnp.int32 and seeds.shape[0] < 32768:
+        counts = counts.astype(jnp.int16)
+    return counts
 
 
 def signature_agreement_counts(
@@ -206,11 +211,11 @@ def signature_similarity(
     """
     n_hash = np.asarray(sigs).shape[1]
     dev = signature_agreement_counts(sigs, block=block)
-    # counts <= n_hash, so an int16 device-side narrow halves the
-    # device->host fetch — the dominant cost of a full-set sweep under
-    # the TPU relay (528 MB of int32 counts at 11.5k sequences).
-    # Value-exact for every real n_hash (< 32768).
-    if n_hash < 32768:
+    # n_hash <= 255 already fetches uint8 (_count_dtype); for larger
+    # n_hash the int32 counts narrow to int16 on device, halving the
+    # dominant device->host fetch (value-exact; counts <= n_hash).
+    # NEVER widen a uint8 result — that would double the fetch.
+    if dev.dtype == jnp.int32 and n_hash < 32768:
         dev = dev.astype(jnp.int16)
     counts = np.asarray(dev).astype(np.float64)
     sims = counts / float(n_hash)

@@ -204,9 +204,13 @@ def sharded_signature_agreement(
             rows_block[:, None, :] == cols_block[None, :, :]
         )  # [nr, nc, H], fused into the reduce
         counts = jnp.sum(eq, axis=-1, dtype=jnp.int32)
-        # counts <= H: narrow to int16 on device so the dominant
-        # device->host fetch halves (value-exact; widened back below)
-        return counts.astype(jnp.int16) if h < 32768 else counts
+        # counts <= H: narrow on device so the dominant device->host
+        # fetch shrinks 4x/2x (value-exact; widened back below)
+        if h <= 255:
+            return counts.astype(jnp.uint8)
+        if h < 32768:
+            return counts.astype(jnp.int16)
+        return counts
 
     fn = shard_map(
         block,
