@@ -319,3 +319,17 @@ def test_minhash_engine_bit_identical_and_clusterbreak_default():
     np.testing.assert_array_equal(got.clustered_seq, want.clustered_seq)
     assert got.filtered_seq == want.filtered_seq
     assert got.n_calls == want.n_calls
+
+
+def test_minhash_engine_cache_off_path():
+    """cache_counts=False serves subsets through per-subset device
+    agreement on cached signatures — same values as the cached path."""
+    from dynaalign_tpu import MinHashEngine
+
+    rng = np.random.default_rng(5)
+    aas = list("ARNDCQEGHILKMFPSTWYV")
+    seqs = ["".join(rng.choice(aas, size=12)) for _ in range(40)]
+    on = MinHashEngine(seqs, k=2, n_hash=50, seed=0, cache_counts=True)
+    off = MinHashEngine(seqs, k=2, n_hash=50, seed=0, cache_counts=False)
+    for sub in (seqs, seqs[5:20]):
+        np.testing.assert_array_equal(on(sub), off(sub))
