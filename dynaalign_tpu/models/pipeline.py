@@ -174,6 +174,7 @@ def hybrid_topk_edges(
     prefilter_quantile: float = 0.8,
     prefilter_threshold: float | None = None,
     chunk: int | None = None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """MH top-k prefilter edge list for the sparse hybrid path.
 
@@ -200,7 +201,14 @@ def hybrid_topk_edges(
         enc.ascii, enc.lengths, k=k, n_hash=n_hash, seed=seed,
         chunk=chunk,
     )
-    vals, idx = minhash_topk(np.asarray(sigs), k=top_k)
+    if mesh is not None:
+        from ..parallel import sharded_minhash_topk
+
+        vals, idx = sharded_minhash_topk(
+            np.asarray(sigs), k=top_k, mesh=mesh
+        )
+    else:
+        vals, idx = minhash_topk(np.asarray(sigs), k=top_k)
     kk = vals.shape[1]
     rows = np.repeat(np.arange(n, dtype=np.int64), kk)
     cols = idx.ravel().astype(np.int64)

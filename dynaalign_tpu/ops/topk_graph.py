@@ -137,6 +137,7 @@ def cluster_large(
     resolution: float = 1.05,
     louvain_seed: int = 0,
     chunk: int | None = None,
+    mesh=None,
     timings: dict | None = None,
 ) -> np.ndarray:
     """Large-N MinHash clustering without a dense matrix.
@@ -144,6 +145,10 @@ def cluster_large(
     signatures → per-row top-k graph → quantile threshold over observed
     edge weights → Louvain.  Returns a 1-based membership vector,
     API-compatible with :func:`dynaalign_tpu.cluster.netcluster`.
+
+    Pass a ``jax.sharding.Mesh`` as ``mesh`` to run the top-k reduction
+    row-sharded across devices (parallel.sharded_minhash_topk —
+    byte-identical to the single-device path, tests/test_parallel.py).
 
     Pass a dict as ``timings`` to receive per-stage wall-clock seconds
     (keys: ``signatures``, ``topk``, ``graph``, ``louvain``).
@@ -161,7 +166,12 @@ def cluster_large(
     )
     sigs = np.asarray(sigs)  # fetch = sync point for the timing split
     t1 = time.perf_counter()
-    vals, idx = minhash_topk(sigs, k=top_k)
+    if mesh is not None:
+        from ..parallel import sharded_minhash_topk
+
+        vals, idx = sharded_minhash_topk(sigs, k=top_k, mesh=mesh)
+    else:
+        vals, idx = minhash_topk(sigs, k=top_k)
     t2 = time.perf_counter()
     pos = vals[vals > 0]
     t = float(np.quantile(pos, thresh_p)) if pos.size else 0.0

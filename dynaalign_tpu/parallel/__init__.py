@@ -11,6 +11,7 @@ from .allpairs import (  # noqa: F401
     plan_bucket_group,
     plan_nw_allpairs,
     sharded_minhash_similarity,
+    sharded_minhash_topk,
     sharded_nw_allpairs,
     sharded_nw_allpairs_bucketed,
     sharded_signature_agreement,

@@ -43,6 +43,7 @@ __all__ = [
     "nw_allpairs_schedule_stats",
     "plan_bucket_group",
     "bucketed_schedule_stats",
+    "sharded_minhash_topk",
 ]
 
 
@@ -813,3 +814,93 @@ def sharded_nw_allpairs_bucketed(
         length[gj, gi] = ln
     with np.errstate(invalid="ignore", divide="ignore"):
         return matches.astype(np.float64) / length
+
+
+def sharded_minhash_topk(
+    sigs: np.ndarray,
+    k: int = 64,
+    *,
+    mesh: Mesh | None = None,
+    block: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k neighbor lists on a device mesh (the sparse large-N path's
+    distributed form): row blocks sharded over the flattened mesh,
+    signatures replicated, each device reducing its rows' agreement
+    counts to top-k locally — no [N, N] anywhere, no collectives
+    (outputs are row-sharded and fetched once).
+
+    Byte-identical to the single-device ops.topk_graph.minhash_topk
+    (tests/test_parallel.py): same f32 top_k, same self-mask, same
+    phantom-neighbor cleanup.
+
+    Returns (similarities float64 [N, k], neighbor idx int32 [N, k]).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    flat = Mesh(mesh.devices.reshape(-1), ("d",))
+    ndev = flat.devices.size
+    sigs = np.asarray(sigs, dtype=np.uint32)
+    n, n_hash = sigs.shape
+    k = min(k, max(n - 1, 1))
+    quantum = ndev * block
+    n_pad = -(-n // quantum) * quantum
+    padded = sigs
+    if n_pad != n:
+        fill = (
+            np.arange(1, n_pad - n + 1, dtype=np.uint32)[:, None]
+            + np.uint32(0x7FFFFFFF)
+        ) * np.ones((1, n_hash), dtype=np.uint32)
+        padded = np.concatenate([sigs, fill], axis=0)
+    rows_per_dev = n_pad // ndev
+    cdt = jnp.int8 if n_hash <= 127 else jnp.int32
+
+    def device_fn(local, full):
+        # local: [rows_per_dev, H] this device's row shard; full: [N, H]
+        offset = jax.lax.axis_index("d") * rows_per_dev
+
+        def row_block(i, acc):
+            vals_acc, idx_acc = acc
+            blk = jax.lax.dynamic_slice(
+                local, (i * block, 0), (block, n_hash)
+            )
+            eq = blk[:, None, :] == full[None, :, :]
+            counts = jnp.sum(eq, axis=-1, dtype=cdt)
+            row_ids = (
+                offset + i * block
+                + jnp.arange(block, dtype=jnp.int32)
+            )
+            col_ids = jnp.arange(n_pad, dtype=jnp.int32)
+            counts = jnp.where(
+                col_ids[None, :] == row_ids[:, None], cdt(-1), counts
+            )
+            fvals, idx = jax.lax.top_k(counts.astype(jnp.float32), k)
+            vals_acc = jax.lax.dynamic_update_slice(
+                vals_acc, fvals.astype(jnp.int32), (i * block, 0)
+            )
+            idx_acc = jax.lax.dynamic_update_slice(
+                idx_acc, idx.astype(jnp.int32), (i * block, 0)
+            )
+            return vals_acc, idx_acc
+
+        vals0 = jnp.zeros((rows_per_dev, k), dtype=jnp.int32)
+        idx0 = jnp.zeros((rows_per_dev, k), dtype=jnp.int32)
+        return jax.lax.fori_loop(
+            0, rows_per_dev // block, row_block, (vals0, idx0)
+        )
+
+    fn = shard_map(
+        device_fn,
+        mesh=flat,
+        in_specs=(P("d"), P()),
+        out_specs=(P("d"), P("d")),
+        check_vma=False,
+    )
+    vals_dev, idx_dev = jax.jit(fn)(
+        _put(padded, flat, P("d")), _put(padded, flat, P())
+    )
+    vals = _fetch_global(vals_dev)[:n].astype(np.float64) / float(n_hash)
+    idx = np.array(_fetch_global(idx_dev))[:n]
+    phantom = idx >= n
+    vals[phantom] = 0.0
+    idx[phantom] = 0
+    return vals, idx

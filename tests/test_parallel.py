@@ -157,3 +157,28 @@ def test_sharded_nw_vmem_retry_non_vmem_error_propagates(monkeypatch):
     sub = blosum.get_matrix("BLOSUM62")
     with pytest.raises(jax.errors.JaxRuntimeError, match="something else"):
         ap.sharded_nw_allpairs(enc.indices, enc.lengths, sub, tile=2)
+
+
+def test_sharded_minhash_topk_matches_single_device():
+    """The mesh-sharded top-k driver is byte-identical to the
+    single-device ops.topk_graph.minhash_topk (same f32 top_k, same
+    self-mask, same phantom cleanup), at sizes that exercise padding
+    (n not a multiple of ndev*block) and both count dtypes."""
+    import numpy as np
+
+    from dynaalign_tpu.ops.topk_graph import minhash_topk
+    from dynaalign_tpu.parallel import make_mesh, sharded_minhash_topk
+
+    rng = np.random.default_rng(8)
+    for n, h, k in ((300, 50, 16), (513, 200, 33)):
+        # clustered signatures so top-k has real structure + ties
+        base = rng.integers(0, 1 << 31, size=(20, h), dtype=np.uint32)
+        sigs = base[rng.integers(0, 20, size=n)]
+        mut = rng.random((n, h)) < 0.1
+        sigs = np.where(
+            mut, rng.integers(0, 1 << 31, size=(n, h)), sigs
+        ).astype(np.uint32)
+        want_v, want_i = minhash_topk(sigs, k=k)
+        got_v, got_i = sharded_minhash_topk(sigs, k=k, mesh=make_mesh())
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_array_equal(got_v, want_v)
