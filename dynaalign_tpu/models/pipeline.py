@@ -245,6 +245,7 @@ def similarity_hybrid_sparse(
     gap_open: int = 10,
     gap_ext: int = 4,
     chunk: int | None = None,
+    mesh=None,
     timings: dict | None = None,
 ):
     """Sparse hybrid similarity: MH top-k prefilter + exact NW edge
@@ -277,6 +278,7 @@ def similarity_hybrid_sparse(
         seqs, k=k, n_hash=n_hash, seed=seed, top_k=top_k,
         prefilter_quantile=prefilter_quantile,
         prefilter_threshold=prefilter_threshold, chunk=chunk,
+        mesh=mesh,
     )
     t1 = time.perf_counter()
     if len(pi):
@@ -319,6 +321,7 @@ def cluster_large_exact(
     resolution: float = 1.05,
     louvain_seed: int = 0,
     chunk: int | None = None,
+    mesh=None,
     timings: dict | None = None,
 ) -> np.ndarray:
     """Large-N clustering on EXACT NW edge weights: MH top-k prefilter →
@@ -341,7 +344,7 @@ def cluster_large_exact(
         prefilter_quantile=thresh_p,
         prefilter_threshold=prefilter_threshold,
         matrix_name=matrix_name, gap_open=gap_open, gap_ext=gap_ext,
-        chunk=chunk, timings=timings,
+        chunk=chunk, mesh=mesh, timings=timings,
     )
     t0 = time.perf_counter()
     membership = louvain(
