@@ -59,6 +59,21 @@ def main() -> None:
     want_nw = oracle.nw_similarity(seqs)
     assert np.array_equal(nw, want_nw), "NW multi-process mismatch"
 
+    # round 5: the sharded top-k reduction under the 2-process mesh
+    # must reproduce the dense MH matrix's per-row strongest neighbors
+    from dynaalign_tpu.ops.minhash import minhash_signatures
+    from dynaalign_tpu.parallel import sharded_minhash_topk
+
+    sigs = np.asarray(minhash_signatures(
+        enc.ascii, enc.lengths, k=3, n_hash=32, seed=0
+    ))
+    tv, ti = sharded_minhash_topk(sigs, k=3, mesh=mesh)
+    masked = want_mh - 2.0 * np.eye(len(seqs))  # exclude self like top-k
+    assert np.array_equal(
+        np.sort(tv, axis=1)[:, ::-1],
+        np.sort(masked, axis=1)[:, ::-1][:, :3],
+    ), "top-k multi-process values mismatch"
+
     print(f"proc {jax.process_index()} OK", flush=True)
 
 
