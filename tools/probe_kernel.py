@@ -63,7 +63,7 @@ def main():
     i16 = nw_i16_ok(pad_to, pad_to, 10, 4, sub_np)
     print(
         f"B={B} LEN={LEN} mp1={pad_to + 1} i16={i16} "
-        f"classes={os.environ.get('DYNAALIGN_NW_BAND_CLASSES', '6')} "
+        f"classes={os.environ.get('DYNAALIGN_NW_BAND_CLASSES', '10')} "
         f"nd={os.environ.get('DYNAALIGN_NW_DIAGS', '2')} "
         f"variant={VARIANT} debug={DEBUG or '-'}",
         flush=True,
