@@ -110,6 +110,15 @@ def _diags_per_step() -> int:
     Must divide _ALIGN when band limiting is on (the band window offset
     is _ALIGN-aligned and the streamed fresh-row block index must stay
     whole).
+
+    NOTE on the env knobs (DYNAALIGN_NW_DIAGS / _BAND / _BAND_CLASSES /
+    _I16): they are read at TRACE time and are not part of the jit
+    cache key, so flipping one mid-process keeps serving the previously
+    compiled configuration.  Unlike the old DYNAALIGN_NW_DEBUG (now an
+    explicit argument), every value of these knobs is bit-exact — a
+    stale read can only affect throughput, never results — so the
+    one-process-per-configuration rule in tools/probe_kernel.py is a
+    measurement discipline, not a correctness requirement.
     """
     return int(os.environ.get("DYNAALIGN_NW_DIAGS", "2"))
 
